@@ -1,0 +1,32 @@
+"""Test env: force an 8-device virtual CPU mesh before jax initializes.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count=8) because only one real TPU chip is
+attached in this environment; the shardings themselves are written for a TPU
+ICI mesh.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_MINI_DATASET = "/root/reference/examples/simple_datasets/speech/SEGS"
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def mini_dataset_path():
+    p = REFERENCE_MINI_DATASET
+    if not os.path.isdir(p):
+        pytest.skip("reference mini dataset not available")
+    return p
