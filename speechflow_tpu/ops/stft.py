@@ -1,0 +1,130 @@
+"""Batched STFT/ISTFT for TPU.
+
+Replaces the reference's librosa/torch STFT backends
+(speechflow/data_pipeline/datasample_processors/spectrogram_processors.py:115-220)
+with a jit-compiled batched implementation: periodic Hann window, centered
+reflect padding, rfft — numerically matching ``librosa.stft(center=True,
+pad_mode="reflect")`` / ``torch.stft`` on float32 input.
+
+Framing is a strided gather (static shapes), which XLA lowers to an efficient
+windowed load; the FFT uses XLA's native FFT op. Everything is (B, T) ->
+(B, n_frames, n_bins) so a whole batch is one device call.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["hann_window", "frame_signal", "stft", "istft", "magnitude"]
+
+
+@functools.lru_cache(maxsize=None)
+def hann_window(win_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic (fftbins=True) Hann window, matching scipy/librosa default."""
+    n = np.arange(win_len)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_len)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
+    """(..., T) -> (..., n_frames, frame_length) via strided gather."""
+    t = x.shape[-1]
+    n_frames = 1 + (t - frame_length) // hop_length
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
+    )  # static index matrix
+    return x[..., idx]
+
+
+def _pad_center(x: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    pad = n_fft // 2
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+
+
+def stft(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: tp.Optional[int] = None,
+    window: tp.Optional[jnp.ndarray] = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Complex STFT of (..., T) -> (..., n_frames, n_fft//2 + 1)."""
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:  # center-pad window to n_fft, librosa-style
+        lp = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lp, n_fft - win_length - lp))
+    if center:
+        x = _pad_center(x, n_fft)
+    frames = frame_signal(x, n_fft, hop_length)
+    frames = frames * window.astype(frames.dtype)
+    return jnp.fft.rfft(frames, n=n_fft, axis=-1)
+
+
+def magnitude(
+    x: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: tp.Optional[int] = None,
+    center: bool = True,
+) -> jnp.ndarray:
+    """|STFT| as (..., n_frames, n_bins) — the reference's ``magnitude`` layout
+    (frames-first, spectrogram_processors.py:204)."""
+    return jnp.abs(stft(x, n_fft, hop_length, win_length, center=center))
+
+
+def istft(
+    spec: jnp.ndarray,
+    n_fft: int = 1024,
+    hop_length: int = 256,
+    win_length: tp.Optional[int] = None,
+    window: tp.Optional[jnp.ndarray] = None,
+    length: tp.Optional[int] = None,
+) -> jnp.ndarray:
+    """Inverse STFT with windowed overlap-add and squared-window normalization.
+
+    spec: complex (..., n_frames, n_fft//2+1), centered analysis assumed.
+    Used by the ISTFT vocoder head (reference: tts/vocoders/vocos/modules/heads/istft.py:19).
+    """
+    win_length = win_length or n_fft
+    if window is None:
+        window = hann_window(win_length)
+    if win_length < n_fft:
+        lp = (n_fft - win_length) // 2
+        window = jnp.pad(window, (lp, n_fft - win_length - lp))
+
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1)  # (..., n_frames, n_fft)
+    frames = frames * window
+
+    n_frames = frames.shape[-2]
+    out_len = n_fft + hop_length * (n_frames - 1)
+
+    # overlap-add via scatter-add on static indices
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, n_frames, n_fft))
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    idx = jnp.asarray(idx.reshape(-1))
+
+    def ola(fr):
+        return jnp.zeros((out_len,), fr.dtype).at[idx].add(fr.reshape(-1))
+
+    sig = jax.vmap(ola)(flat)
+
+    wsq = window * window
+    wsum = jnp.zeros((out_len,), frames.dtype).at[idx].add(
+        jnp.broadcast_to(wsq, (n_frames, n_fft)).reshape(-1)
+    )
+    sig = sig / jnp.maximum(wsum, 1e-11)
+
+    pad = n_fft // 2
+    sig = sig[:, pad : out_len - pad]
+    if length is not None:
+        sig = sig[:, :length]
+    return sig.reshape(batch_shape + sig.shape[-1:])
