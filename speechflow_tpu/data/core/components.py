@@ -1,0 +1,301 @@
+"""Config-driven pipeline assembly.
+
+Capability parity with the reference PipelineComponents/DataPipeline
+(speechflow/data_pipeline/core/components.py:187,510): a data config with
+sections ``dirs / file_search / dataset / parser / preproc / singleton_handlers
+/ collate / processor / sampler`` is turned into per-subset components
+(parser -> Dataset -> fitted singletons -> handler pipe -> collate -> sampler
+-> DataProcessor); ``get_info()`` captures everything a worker or a checkpoint
+consumer needs to rebuild the pipeline (config, alphabet, singleton states),
+``aggregate_info`` merges infos from multiple servers, and
+``with_ignored_fields``/``with_ignored_handlers`` perform eval-time surgery.
+
+Example config: configs/tts_data_24khz.yml in this repo.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import typing as tp
+from pathlib import Path
+
+from speechflow_tpu.data.collate import COLLATES
+from speechflow_tpu.data.core.dataset import Dataset
+from speechflow_tpu.data.core.processor import DataProcessor, DumpProcessor
+from speechflow_tpu.data.core.registry import PipeRegistry
+from speechflow_tpu.data.parsers import PARSERS
+from speechflow_tpu.data.processors import get_handler
+from speechflow_tpu.data.processors.singletons import SINGLETON_HANDLERS
+from speechflow_tpu.data.processors.text import Alphabet, TTSTextProcessor
+from speechflow_tpu.data.samplers import SAMPLERS
+from speechflow_tpu.io import Config, construct_file_list, split_file_list
+from speechflow_tpu.utils.init import filter_kwargs
+
+LOGGER = logging.getLogger("speechflow_tpu")
+
+__all__ = ["PipelineComponents", "DataPipeline"]
+
+
+class PipelineComponents:
+    """All components for one subset."""
+
+    def __init__(self, cfg: Config, subset: str,
+                 ignored_fields: tp.Optional[tp.Set[str]] = None,
+                 ignored_handlers: tp.Optional[tp.Set[str]] = None):
+        self.cfg = cfg
+        self.subset = subset
+        self.ignored_fields = set(ignored_fields or ())
+        self.ignored_handlers = set(ignored_handlers or ())
+
+        self.dataset: tp.Optional[Dataset] = None
+        self.singletons: tp.Dict[str, tp.Any] = {}
+        self.text_processor: tp.Optional[TTSTextProcessor] = None
+
+        parser_cfg = cfg.section("parser").to_dict()
+        parser_type = parser_cfg.pop("type", "SimpleDSParser")
+        cls = PARSERS[parser_type]
+        self.parser = cls(**filter_kwargs(cls.__init__, parser_cfg))
+
+        collate_cfg = cfg.section("collate").to_dict()
+        collate_type = collate_cfg.pop("type", "TTSCollate")
+        ccls = COLLATES[collate_type]
+        self.collate_fn = ccls(**filter_kwargs(ccls.__init__, collate_cfg))
+
+        sampler_section = cfg.section("sampler")
+        s_cfg = sampler_section.section(subset) if subset in sampler_section else sampler_section
+        s_cfg = s_cfg.to_dict()
+        s_type = s_cfg.pop("type", "SimpleSampler")
+        scls = SAMPLERS[s_type]
+        self.sampler = scls(**filter_kwargs(scls.__init__, s_cfg))
+
+        self._preproc_pipe_cfg = cfg.section("preproc")
+        self.preproc_fns: tp.List[tp.Callable] = []
+        self.handler_params: tp.Dict[str, dict] = {}
+
+        proc_cfg = cfg.section("processor")
+        dump = None
+        if "dump" in proc_cfg:
+            d = proc_cfg.section("dump").to_dict()
+            dump = DumpProcessor(**filter_kwargs(DumpProcessor.__init__, d))
+        self.dump_processor = dump
+        self.data_processor: tp.Optional[DataProcessor] = None
+
+    # -- assembly ----------------------------------------------------------
+
+    def load_dataset(self, files: tp.Sequence[str]) -> Dataset:
+        ds_cfg = self.cfg.section("dataset")
+        maxn = ds_cfg.get("max_num_samples")
+        if maxn:
+            files = list(files)[:maxn]
+        self.dataset = self.parser.read_datasamples(files)
+        return self.dataset
+
+    def set_dataset(self, dataset: Dataset) -> None:
+        self.dataset = dataset
+
+    def fit_singletons(self, shared: tp.Optional[tp.Dict[str, tp.Any]] = None) -> None:
+        """Fit (or adopt pre-fitted) singleton handlers and apply to samples."""
+        names = self.cfg.get("singleton_handlers", []) or []
+        for name in names:
+            if shared and name in shared:
+                inst = shared[name]
+            else:
+                inst = SINGLETON_HANDLERS[name]()
+                inst.fit(self.dataset)
+            self.singletons[name] = inst
+        for inst in self.singletons.values():
+            if hasattr(inst, "apply") and self.dataset is not None:
+                for i in range(len(self.dataset)):
+                    inst.apply(self.dataset[i])
+
+    def build_preproc(self, alphabet: tp.Optional[Alphabet] = None) -> None:
+        pipe = list(self._preproc_pipe_cfg.get("pipe", []) or [])
+        pipe_cfg = self._preproc_pipe_cfg.section("pipe_cfg")
+        self.preproc_fns = []
+        self.handler_params = {}
+        if alphabet is not None:
+            self.text_processor = TTSTextProcessor(alphabet)
+        for name in pipe:
+            if name in self.ignored_handlers:
+                continue
+            fn = get_handler(name)
+            meta = PipeRegistry.meta(fn)
+            if meta["outputs"] & self.ignored_fields:
+                continue
+            params = pipe_cfg.section(name).to_dict() if name in pipe_cfg else {}
+            if name == "text_to_transcription":
+                params = dict(params, processor=self.text_processor)
+            bound = functools.partial(fn, **filter_kwargs(fn, params, warn=True)) if params else fn
+            bound.__pipe_meta__ = meta  # preserve registry metadata through partial
+            self.preproc_fns.append(bound)
+            self.handler_params[name] = {k: v for k, v in params.items() if k != "processor"}
+        self.data_processor = DataProcessor(
+            preproc_fns=self.preproc_fns,
+            collate_fn=self.collate_fn,
+            handler_params=self.handler_params,
+            dump_processor=self.dump_processor,
+        )
+
+    def attach_sampler(self) -> None:
+        self.sampler.set_dataset(self.dataset)
+
+    # -- runtime -------------------------------------------------------------
+
+    def datasample_to_batch(self, samples: tp.Sequence) -> tp.Any:
+        return self.data_processor.process(list(samples))
+
+    def sample_batch(self, batch_size: int):
+        samples, is_last = self.sampler.sampling(batch_size)
+        return self.data_processor.process([s.copy() for s in samples], is_last=is_last)
+
+
+class DataPipeline:
+    def __init__(self, cfg: Config,
+                 ignored_fields: tp.Optional[tp.Set[str]] = None,
+                 ignored_handlers: tp.Optional[tp.Set[str]] = None):
+        self.cfg = cfg
+        self.subsets: tp.List[str] = list(cfg.section("dataset").get("subsets", ["train", "test"]))
+        self.ignored_fields = set(ignored_fields or ())
+        self.ignored_handlers = set(ignored_handlers or ())
+        self.components: tp.Dict[str, PipelineComponents] = {}
+        self.alphabet: tp.Optional[Alphabet] = None
+        self._initialized = False
+
+    # -- construction ----------------------------------------------------------
+
+    @staticmethod
+    def init_from_config(path: tp.Union[str, Path],
+                         value_select: tp.Optional[tp.Sequence[str]] = None,
+                         **kwargs) -> "DataPipeline":
+        return DataPipeline(Config.create_from_file(path, value_select=value_select), **kwargs)
+
+    def with_ignored_fields(self, fields: tp.Set[str]) -> "DataPipeline":
+        return DataPipeline(self.cfg, self.ignored_fields | fields, self.ignored_handlers)
+
+    def with_ignored_handlers(self, handlers: tp.Set[str]) -> "DataPipeline":
+        return DataPipeline(self.cfg, self.ignored_fields, self.ignored_handlers | handlers)
+
+    def init_components(self, datasets: tp.Optional[tp.Dict[str, Dataset]] = None) -> "DataPipeline":
+        file_cfg = self.cfg.section("file_search")
+        ds_cfg = self.cfg.section("dataset")
+
+        for subset in self.subsets:
+            self.components[subset] = PipelineComponents(
+                self.cfg, subset, self.ignored_fields, self.ignored_handlers
+            )
+
+        if datasets is None:
+            root = self.cfg.section("dirs").get("data_root", ".")
+            ext = file_cfg.get("ext", ".TextGridStage3")
+            files = construct_file_list(root, ext=ext)
+            if not files:
+                LOGGER.warning("no files with ext %s under %s", ext, root)
+            ratio = float(ds_cfg.get("split_ratio", 0.9))
+            train_files, test_files = split_file_list(files, split_ratio=ratio,
+                                                      seed=int(ds_cfg.get("seed", 0)))
+            subset_files = {"train": train_files, "test": test_files}
+            datasets = {}
+            for subset in self.subsets:
+                datasets[subset] = self.components[subset].load_dataset(
+                    subset_files.get(subset, files)
+                )
+        else:
+            for subset in self.subsets:
+                self.components[subset].set_dataset(datasets[subset])
+
+        # fit singletons on the train subset, share with the others
+        first = self.subsets[0]
+        self.components[first].fit_singletons()
+        shared = self.components[first].singletons
+        for subset in self.subsets[1:]:
+            self.components[subset].fit_singletons(shared=shared)
+
+        # alphabet from phoneme statistics (if present)
+        phst = shared.get("PhonemeStatistics")
+        if phst is not None and phst.counts:
+            self.alphabet = Alphabet(phst.symbols)
+        elif any("text_to_transcription" in (self.cfg.get_path("preproc.pipe") or []) for _ in (0,)):
+            self.alphabet = Alphabet([])
+
+        for subset in self.subsets:
+            self.components[subset].build_preproc(self.alphabet)
+            self.components[subset].attach_sampler()
+
+        self._initialized = True
+        return self
+
+    def __getitem__(self, subset: str) -> PipelineComponents:
+        return self.components[subset]
+
+    # -- info / transport --------------------------------------------------------
+
+    def get_info(self) -> dict:
+        first = self.subsets[0]
+        comps = self.components.get(first)
+        info: tp.Dict[str, tp.Any] = {
+            "config": self.cfg.to_dict(),
+            "subsets": self.subsets,
+            "alphabet": self.alphabet.to_dict() if self.alphabet else None,
+            "singletons": {},
+            "dataset_sizes": {s: len(c.dataset) if c.dataset else 0
+                              for s, c in self.components.items()},
+        }
+        if comps:
+            for name, inst in comps.singletons.items():
+                info["singletons"][name] = inst.state_dict()
+        return info
+
+    @staticmethod
+    def aggregate_info(infos: tp.Sequence[dict]) -> dict:
+        """Merge infos from multiple data servers (reference: components.py:510)."""
+        if not infos:
+            return {}
+        merged = dict(infos[0])
+        for other in infos[1:]:
+            for name, state in other.get("singletons", {}).items():
+                if name not in merged["singletons"]:
+                    merged["singletons"][name] = state
+                else:
+                    inst = SINGLETON_HANDLERS[name]()
+                    inst.load_state_dict(merged["singletons"][name])
+                    o = SINGLETON_HANDLERS[name]()
+                    o.load_state_dict(state)
+                    inst.aggregate(o)
+                    merged["singletons"][name] = inst.state_dict()
+            for s, n in other.get("dataset_sizes", {}).items():
+                merged["dataset_sizes"][s] = merged["dataset_sizes"].get(s, 0) + n
+        return merged
+
+    @staticmethod
+    def from_info(info: dict,
+                  datasets: tp.Optional[tp.Dict[str, Dataset]] = None,
+                  ignored_fields: tp.Optional[tp.Set[str]] = None,
+                  ignored_handlers: tp.Optional[tp.Set[str]] = None) -> "DataPipeline":
+        """Rebuild a pipeline from a get_info() payload (workers / eval)."""
+        from speechflow_tpu.data.core.singleton import Singleton
+
+        Singleton.clear()
+        dp = DataPipeline(Config(info["config"]), ignored_fields, ignored_handlers)
+        dp.subsets = list(info["subsets"])
+        if info.get("alphabet"):
+            dp.alphabet = Alphabet.from_dict(info["alphabet"])
+        for subset in dp.subsets:
+            dp.components[subset] = PipelineComponents(
+                dp.cfg, subset, dp.ignored_fields, dp.ignored_handlers
+            )
+            comp = dp.components[subset]
+            for name, state in info.get("singletons", {}).items():
+                inst = SINGLETON_HANDLERS[name]()
+                inst.load_state_dict(state)
+                comp.singletons[name] = inst
+            comp.build_preproc(dp.alphabet)
+            if datasets and subset in datasets:
+                comp.set_dataset(datasets[subset])
+                for inst in comp.singletons.values():
+                    if hasattr(inst, "apply"):
+                        for i in range(len(comp.dataset)):
+                            inst.apply(comp.dataset[i])
+                comp.attach_sampler()
+        dp._initialized = True
+        return dp

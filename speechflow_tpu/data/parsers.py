@@ -1,0 +1,169 @@
+"""Dataset parsers: file lists -> DataSamples.
+
+Capability parity with the reference parser zoo
+(speechflow/data_pipeline/dataset_parsers/): TTSDSParser reads TextGrid segas
+(lang/speaker meta, phoneme/word tiers, duration & phoneme-length filters),
+AudioDSParser wraps raw audio files, SimpleDSParser wraps any file list,
+EasyDSParser runs an arbitrary function over a file list in N processes,
+ImageDSParser reads image arrays.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+from speechflow_tpu.data.core.datasample import (
+    AudioDataSample,
+    DataSample,
+    ImageDataSample,
+    TTSDataSample,
+)
+from speechflow_tpu.data.core.parser import BaseDSParser, Metadata
+from speechflow_tpu.io import AudioChunk, AudioSeg, Timestamps
+
+__all__ = ["TTSDSParser", "AudioDSParser", "SimpleDSParser", "EasyDSParser", "ImageDSParser", "PARSERS"]
+
+
+class TTSDSParser(BaseDSParser):
+    def __init__(
+        self,
+        max_duration: tp.Optional[float] = None,
+        min_duration: tp.Optional[float] = None,
+        max_phoneme_length: tp.Optional[float] = None,
+        audio_strip: bool = False,
+        languages: tp.Optional[tp.Sequence[str]] = None,
+        speakers: tp.Optional[tp.Sequence[str]] = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.max_duration = max_duration
+        self.min_duration = min_duration
+        self.max_phoneme_length = max_phoneme_length
+        self.audio_strip = audio_strip
+        self.languages = set(languages) if languages else None
+        self.speakers = set(speakers) if speakers else None
+
+    def reader(self, path: tp.Union[str, Path]) -> tp.List[Metadata]:
+        seg = AudioSeg.load(path)
+        return [{"seg": seg, "path": str(path)}]
+
+    def run_preprocessing(self, md: Metadata) -> tp.Optional[Metadata]:
+        seg: AudioSeg = md["seg"]
+        if self.languages and seg.lang not in self.languages:
+            return None
+        if self.speakers and seg.speaker_name not in self.speakers:
+            return None
+        dur = seg.duration
+        if self.max_duration and dur > self.max_duration:
+            return None
+        if self.min_duration and dur < self.min_duration:
+            return None
+        if self.max_phoneme_length:
+            phs = seg.phonemes()
+            if phs and max(e - b for b, e, _ in phs) > self.max_phoneme_length:
+                return None
+        return super().run_preprocessing(md)
+
+    def to_datasample(self, md: Metadata) -> tp.Optional[TTSDataSample]:
+        seg: AudioSeg = md["seg"]
+        phs = seg.phonemes()
+        words = seg.words()
+        chunk = seg.audio_chunk
+        if self.audio_strip and words:
+            b, e = seg.bos_eos_bounds()
+            chunk = AudioChunk(
+                file_path=chunk.file_path,
+                begin=chunk.begin + b,
+                end=chunk.begin + e,
+            )
+            phs = [(pb - b, pe - b, lab) for pb, pe, lab in phs if pe > b and pb < e]
+            words = [(wb - b, we - b, lab) for wb, we, lab in words]
+        ds = TTSDataSample(
+            file_path=md["path"],
+            sega_path=md["path"],
+            label=seg.speaker_name,
+            audio_chunk=chunk,
+            lang=seg.lang,
+            speaker_name=seg.speaker_name,
+            text=" ".join(lab for _, _, lab in words),
+            phonemes=[lab for _, _, lab in phs],
+            phoneme_timestamps=Timestamps(np.asarray([[b, e] for b, e, _ in phs]))
+            if phs else None,
+            word_timestamps=Timestamps(np.asarray([[b, e] for b, e, _ in words]))
+            if words else None,
+            intonation_type="." if not seg.text_ends_with("?") else "?",
+        )
+        return ds
+
+
+def _seg_text_ends_with(seg: AudioSeg, suffix: str) -> bool:
+    words = seg.words()
+    return bool(words) and words[-1][2].strip().endswith(suffix)
+
+
+# small helper exposed on AudioSeg for parser use
+AudioSeg.text_ends_with = _seg_text_ends_with  # type: ignore[attr-defined]
+
+
+class AudioDSParser(BaseDSParser):
+    def reader(self, path):
+        return [{"path": str(path)}]
+
+    def to_datasample(self, md: Metadata) -> AudioDataSample:
+        p = Path(md["path"])
+        return AudioDataSample(
+            file_path=str(p),
+            label=p.parent.name,
+            speaker_name=p.parent.name,
+            audio_chunk=AudioChunk(file_path=p),
+        )
+
+
+class SimpleDSParser(BaseDSParser):
+    def reader(self, path):
+        return [{"path": str(path)}]
+
+    def to_datasample(self, md: Metadata) -> DataSample:
+        return DataSample(file_path=md["path"], label=Path(md["path"]).parent.name)
+
+
+class ImageDSParser(BaseDSParser):
+    def reader(self, path):
+        return [{"path": str(path)}]
+
+    def to_datasample(self, md: Metadata) -> ImageDataSample:
+        arr = np.load(md["path"]) if md["path"].endswith(".npy") else None
+        return ImageDataSample(file_path=md["path"], image=arr,
+                               label=Path(md["path"]).parent.name)
+
+
+class EasyDSParser(BaseDSParser):
+    """Run an arbitrary fn over a file list in N processes
+    (reference: easy_ds_parser.py:18 — used by the annotator for ASR)."""
+
+    def __init__(self, fn: tp.Callable[[str], tp.Any], **kwargs):
+        super().__init__(**kwargs)
+        self.fn = fn
+
+    def reader(self, path):
+        return [{"path": str(path)}]
+
+    def to_datasample(self, md: Metadata):
+        out = self.fn(md["path"])
+        if isinstance(out, DataSample):
+            return out
+        if out is None:
+            return None
+        return DataSample(file_path=md["path"], additional={"result": out})
+
+
+PARSERS = {
+    "TTSDSParser": TTSDSParser,
+    "AudioDSParser": AudioDSParser,
+    "SimpleDSParser": SimpleDSParser,
+    "ImageDSParser": ImageDSParser,
+    "EasyDSParser": EasyDSParser,
+}

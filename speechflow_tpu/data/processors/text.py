@@ -1,0 +1,136 @@
+"""Text frontend: alphabet, phoneme tokenization, service tokens.
+
+Capability parity with the reference TTSTextProcessor
+(speechflow/data_pipeline/datasample_processors/tts_text_processors.py:57),
+re-founded without the external multilingual_text_parser (.NET/eSpeak)
+dependency: during *training*, phoneme sequences come from the TextGrid
+``phonemes`` tier (the reference stores the parser's output there), so the
+frontend only needs a stable phoneme<->id alphabet; for *inference* a
+pluggable grapheme/G2P hook converts raw text (built-in: char-level fallback;
+an external phonemizer can be injected behind ``TextParserHook``).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from speechflow_tpu.data.core.datasample import TTSDataSample
+from speechflow_tpu.data.processors import handler
+
+__all__ = ["Alphabet", "TTSTextProcessor", "TextParserHook"]
+
+PAD, BOS, EOS, SIL, UNK = "<PAD>", "<BOS>", "<EOS>", "<SIL>", "<UNK>"
+SERVICE_TOKENS = (PAD, BOS, EOS, SIL, UNK)
+
+
+class Alphabet:
+    """Stable token<->id mapping with service tokens at fixed low ids."""
+
+    def __init__(self, symbols: tp.Sequence[str]):
+        self.symbols: tp.List[str] = list(SERVICE_TOKENS) + [
+            s for s in sorted(set(symbols)) if s not in SERVICE_TOKENS
+        ]
+        self.index: tp.Dict[str, int] = {s: i for i, s in enumerate(self.symbols)}
+
+    def __len__(self) -> int:
+        return len(self.symbols)
+
+    def __contains__(self, s: str) -> bool:
+        return s in self.index
+
+    def encode(self, tokens: tp.Sequence[str]) -> np.ndarray:
+        unk = self.index[UNK]
+        return np.asarray([self.index.get(t, unk) for t in tokens], dtype=np.int32)
+
+    def decode(self, ids: tp.Sequence[int]) -> tp.List[str]:
+        return [self.symbols[i] for i in ids]
+
+    def to_dict(self) -> dict:
+        return {"symbols": self.symbols}
+
+    @staticmethod
+    def from_dict(d: dict) -> "Alphabet":
+        a = Alphabet([])
+        a.symbols = list(d["symbols"])
+        a.index = {s: i for i, s in enumerate(a.symbols)}
+        return a
+
+    @property
+    def pad_id(self) -> int:
+        return self.index[PAD]
+
+    @property
+    def sil_id(self) -> int:
+        return self.index[SIL]
+
+    @property
+    def bos_id(self) -> int:
+        return self.index[BOS]
+
+    @property
+    def eos_id(self) -> int:
+        return self.index[EOS]
+
+
+class TextParserHook:
+    """Pluggable raw-text -> phoneme-sequence hook (inference path).
+
+    The built-in fallback is a character tokenizer (lowercased, punctuation as
+    pause markers); inject an external phonemizer by subclassing.
+    """
+
+    PAUSE_CHARS = ".,;:!?—–-"
+
+    def __call__(self, text: str, lang: str = "EN") -> tp.List[str]:
+        out: tp.List[str] = []
+        for ch in text.strip().lower():
+            if ch.isspace():
+                continue
+            if ch in self.PAUSE_CHARS:
+                out.append(SIL)
+            else:
+                out.append(ch)
+        return out
+
+
+class TTSTextProcessor:
+    """Stateful text frontend bound to an Alphabet."""
+
+    def __init__(self, alphabet: tp.Optional[Alphabet] = None,
+                 parser: tp.Optional[TextParserHook] = None,
+                 add_service_tokens: bool = True):
+        self.alphabet = alphabet
+        self.parser = parser or TextParserHook()
+        self.add_service_tokens = add_service_tokens
+
+    def encode_phonemes(self, phonemes: tp.Sequence[str]) -> np.ndarray:
+        toks = ["" if p is None else p for p in phonemes]
+        toks = [SIL if t in ("", "undefined_sil") else t for t in toks]
+        if self.add_service_tokens:
+            toks = [BOS] + toks + [EOS]
+        return self.alphabet.encode(toks)
+
+    def encode_text(self, text: str, lang: str = "EN") -> np.ndarray:
+        return self.encode_phonemes(self.parser(text, lang))
+
+    def __call__(self, ds: TTSDataSample) -> TTSDataSample:
+        return self.process(ds)
+
+    def process(self, ds: TTSDataSample) -> TTSDataSample:
+        if ds.phonemes is not None:
+            ds.transcription = self.encode_phonemes(ds.phonemes)
+        elif ds.text is not None:
+            ds.transcription = self.encode_text(ds.text, ds.lang or "EN")
+        ds.transform_params.setdefault("text", {}).update(
+            alphabet_size=len(self.alphabet), add_service_tokens=self.add_service_tokens
+        )
+        return ds
+
+
+@handler(inputs={"phonemes"}, outputs={"transcription"})
+def text_to_transcription(ds: TTSDataSample, processor: tp.Optional[TTSTextProcessor] = None) -> TTSDataSample:
+    """Pipe-level wrapper; ``processor`` is bound by PipelineComponents."""
+    assert processor is not None, "text processor must be injected by the pipeline"
+    return processor.process(ds)

@@ -1,0 +1,147 @@
+"""TTS alignment-derived handlers: pauses, durations, aggregates, gate.
+
+Capability parity with the reference tts_processors
+(speechflow/data_pipeline/datasample_processors/tts_processors.py:110,315,486,598,801):
+pause insertion from timestamp gaps, timestamps -> per-token frame durations
+(exact reconciliation to the mel length), frame->token feature aggregation
+(mean/median/min/max over each token's frames), and the stop-gate target.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from speechflow_tpu.data.core.datasample import TTSDataSample
+from speechflow_tpu.data.processors import handler
+from speechflow_tpu.data.processors.text import BOS, EOS, SIL
+from speechflow_tpu.io import Timestamps
+
+__all__ = []
+
+
+@handler(inputs={"phonemes", "phoneme_timestamps"}, outputs={"phonemes", "phoneme_timestamps"})
+def add_pauses_from_timestamps(
+    ds: TTSDataSample, min_len: float = 0.03, merge_short: bool = True
+) -> TTSDataSample:
+    """Turn empty-label intervals (gaps) into SIL tokens; gaps shorter than
+    ``min_len`` are merged into the preceding token (reference: :315)."""
+    if ds.phoneme_timestamps is None:
+        return ds  # text-only inference sample: nothing to do
+    phs, ts = [], []
+    for label, (b, e) in zip(ds.phonemes, ds.phoneme_timestamps):
+        dur = e - b
+        is_pause = label in ("", SIL, "undefined_sil", None)
+        if is_pause:
+            if dur >= min_len or not ts:
+                phs.append(SIL)
+                ts.append([b, e])
+            elif merge_short:
+                ts[-1][1] = e  # absorb into previous token
+            else:
+                phs.append(SIL)
+                ts.append([b, e])
+        else:
+            phs.append(label)
+            ts.append([b, e])
+    ds.phonemes = phs
+    ds.phoneme_timestamps = Timestamps(np.asarray(ts))
+    return ds
+
+
+@handler(inputs={"transcription", "phoneme_timestamps"}, outputs={"durations"})
+def calc_durations(ds: TTSDataSample) -> TTSDataSample:
+    """Per-token frame counts aligned with the transcription (incl. BOS/EOS
+    rows when service tokens are on), summing exactly to the mel length."""
+    hop = ds.get_param_val("hop_len", ds.hop_len or 256)
+    sr = ds.audio_chunk.sr if ds.audio_chunk is not None else ds.get_param_val("sample_rate")
+    n_frames = ds.n_frames or None
+
+    ts = ds.phoneme_timestamps
+    n_tokens = ds.n_tokens
+    has_service = n_tokens == len(ts) + 2
+    if has_service:
+        # BOS spans [audio begin, first phoneme); EOS spans [last phoneme, audio end)
+        total = ds.audio_chunk.duration if ds.audio_chunk is not None else ts.end
+        rows = np.concatenate(
+            [
+                np.asarray([[0.0, ts.begin]]),
+                ts.intervals - 0.0,
+                np.asarray([[ts.end, max(total, ts.end)]]),
+            ],
+            axis=0,
+        )
+        ts = Timestamps(rows)
+    ds.durations = ts.to_frames(hop, int(sr), n_frames=n_frames).astype(np.float32)
+    assert len(ds.durations) == n_tokens, (len(ds.durations), n_tokens)
+    return ds
+
+
+def _aggregate(feat: np.ndarray, durations: np.ndarray, mode: str = "mean") -> np.ndarray:
+    """Reduce frame-level feat (T,) to token-level (N,) given frame counts."""
+    edges = np.concatenate([[0], np.cumsum(durations.astype(np.int64))])
+    out = np.zeros(len(durations), dtype=np.float32)
+    for i in range(len(durations)):
+        seg = feat[edges[i] : edges[i + 1]]
+        if len(seg) == 0:
+            out[i] = 0.0
+        elif mode == "mean":
+            out[i] = seg.mean()
+        elif mode == "median":
+            out[i] = np.median(seg)
+        elif mode == "min":
+            out[i] = seg.min()
+        elif mode == "max":
+            out[i] = seg.max()
+        elif mode == "range":
+            out[i] = seg.max() - seg.min()
+        else:
+            raise ValueError(mode)
+    return out
+
+
+@handler(inputs={"durations", "pitch"}, outputs={"aggregate_pitch"})
+def aggregate_pitch(ds: TTSDataSample, mode: str = "mean", voiced_only: bool = True) -> TTSDataSample:
+    feat = ds.pitch
+    if voiced_only:
+        # mean over voiced frames only, per token
+        edges = np.concatenate([[0], np.cumsum(ds.durations.astype(np.int64))])
+        out = np.zeros(len(ds.durations), dtype=np.float32)
+        for i in range(len(ds.durations)):
+            seg = feat[edges[i] : edges[i + 1]]
+            v = seg[seg > 0]
+            out[i] = v.mean() if len(v) else 0.0
+        ds.aggregate_pitch = out
+    else:
+        ds.aggregate_pitch = _aggregate(feat, ds.durations, mode)
+    return ds
+
+
+@handler(inputs={"durations", "energy"}, outputs={"aggregate_energy"})
+def aggregate_energy(ds: TTSDataSample, mode: str = "mean") -> TTSDataSample:
+    ds.aggregate_energy = _aggregate(ds.energy, ds.durations, mode)
+    return ds
+
+
+@handler(inputs={"mel"}, outputs={"gate"})
+def gate_target(ds: TTSDataSample, last_frames: int = 1) -> TTSDataSample:
+    t = ds.n_frames
+    gate = np.zeros(t, dtype=np.float32)
+    gate[max(0, t - last_frames):] = 1.0
+    ds.gate = gate
+    return ds
+
+
+@handler(inputs={"transcription"}, outputs={"word_lengths"})
+def calc_word_lengths(ds: TTSDataSample) -> TTSDataSample:
+    """Tokens per word from word timestamps (used by word-level LM features)."""
+    if ds.word_timestamps is None or ds.phoneme_timestamps is None:
+        ds.word_lengths = np.asarray([ds.n_tokens], dtype=np.int32)
+        return ds
+    counts = []
+    for wb, we in ds.word_timestamps:
+        n = sum(1 for b, e, in ds.phoneme_timestamps if b >= wb - 1e-6 and e <= we + 1e-6)
+        counts.append(n)
+    ds.word_lengths = np.asarray(counts, dtype=np.int32)
+    return ds
