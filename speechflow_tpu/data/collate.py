@@ -180,9 +180,18 @@ class ImageCollate:
         )
 
 
+class NoCollate:
+    """Pass-through: batches carry raw DataSamples only (empty-config tests,
+    dump scripts)."""
+
+    def __call__(self, samples):
+        return None
+
+
 COLLATES = {
     "TTSCollate": TTSCollate,
     "SpectrogramCollate": SpectrogramCollate,
     "AudioCollate": AudioCollate,
     "ImageCollate": ImageCollate,
+    "none": NoCollate,
 }

@@ -58,7 +58,7 @@ class PipelineComponents:
         self.parser = cls(**filter_kwargs(cls.__init__, parser_cfg))
 
         collate_cfg = cfg.section("collate").to_dict()
-        collate_type = collate_cfg.pop("type", "TTSCollate")
+        collate_type = collate_cfg.pop("type", "none")
         ccls = COLLATES[collate_type]
         self.collate_fn = ccls(**filter_kwargs(ccls.__init__, collate_cfg))
 

