@@ -1,0 +1,159 @@
+"""GAN trainer: alternating generator/discriminator optimization.
+
+Capability parity with the reference GANLightningEngine(WithManualOptimization)
+(speechflow/training/lightning_engine.py:176,322) and the vocoder engine
+(tts/vocoders/vocos/lightning_engine.py:36): two optimizers, per-step
+alternation with configurable discriminator frequency, grad clipping and NaN
+rejection via the optimizer chain, checkpointing both states. The two
+sub-steps are two jit programs; generator losses receive the discriminator
+module (frozen within the generator step via lax.stop_gradient on its outputs
+being the discriminator's responsibility — the criterion contract matches the
+reference: gen_criterion(gen_out, disc, inputs, targets, step)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from speechflow_tpu.training.optimizer import OptimizerConfig, build_optimizer
+from speechflow_tpu.training.saver import ExperimentSaver
+from speechflow_tpu.training.trainer import TrainerConfig, _sum_losses
+
+LOGGER = logging.getLogger("speechflow_tpu")
+
+__all__ = ["GANTrainer"]
+
+
+class GANTrainer:
+    def __init__(
+        self,
+        generator: nnx.Module,
+        discriminator: nnx.Module,
+        gen_criterion: tp.Callable,   # (gen_out, disc, inputs, targets, step) -> {name: loss}
+        disc_criterion: tp.Callable,  # (gen_out, disc, inputs, targets, step) -> {name: loss}
+        batch_processor: tp.Callable,
+        gen_optimizer: tp.Optional[OptimizerConfig] = None,
+        disc_optimizer: tp.Optional[OptimizerConfig] = None,
+        config: tp.Optional[TrainerConfig] = None,
+        saver: tp.Optional[ExperimentSaver] = None,
+        disc_every: int = 1,
+        disc_start_iter: int = 0,
+        tb_dir: tp.Optional[tp.Union[str, Path]] = None,
+    ):
+        self.generator = generator
+        self.discriminator = discriminator
+        self.batch_processor = batch_processor
+        self.cfg = config or TrainerConfig()
+        self.disc_every = disc_every
+        self.disc_start_iter = disc_start_iter
+        self.saver = saver
+        self.global_step = 0
+
+        g_cfg = gen_optimizer or OptimizerConfig(method="adamw", lr=2e-4)
+        d_cfg = disc_optimizer or OptimizerConfig(method="adamw", lr=2e-4)
+        self.gen_opt = nnx.Optimizer(generator, build_optimizer(g_cfg), wrt=nnx.Param)
+        self.disc_opt = nnx.Optimizer(discriminator, build_optimizer(d_cfg), wrt=nnx.Param)
+
+        self._tb = None
+        if tb_dir is not None:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(str(tb_dir))
+
+        @nnx.jit
+        def _gen_step(gen, disc, gen_opt, inputs, targets, step):
+            def loss_fn(g):
+                out = g(inputs)
+                losses = gen_criterion(out, disc, inputs, targets, step)
+                return _sum_losses(losses), (losses, out)
+
+            (total, (losses, out)), grads = nnx.value_and_grad(loss_fn, has_aux=True)(gen)
+            gen_opt.update(gen, grads)
+            return total, losses, out
+
+        @nnx.jit
+        def _disc_step(gen_out, gen, disc, disc_opt, inputs, targets, step):
+            def loss_fn(d):
+                losses = disc_criterion(jax.lax.stop_gradient(gen_out), d, inputs, targets, step)
+                return _sum_losses(losses), losses
+
+            (total, losses), grads = nnx.value_and_grad(loss_fn, has_aux=True)(disc)
+            disc_opt.update(disc, grads)
+            return total, losses
+
+        self._gen_step = _gen_step
+        self._disc_step = _disc_step
+
+    def training_step(self, batch) -> tp.Dict[str, float]:
+        inputs, targets = self.batch_processor(batch)
+        to_dev = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, t)
+        inputs, targets = to_dev(inputs), to_dev(targets)
+        step = jnp.asarray(self.global_step, jnp.int32)
+
+        g_total, g_losses, gen_out = self._gen_step(
+            self.generator, self.discriminator, self.gen_opt, inputs, targets, step)
+        metrics = {f"gen/{k}": float(v) for k, v in g_losses.items()}
+        metrics["gen/total"] = float(g_total)
+
+        if (self.global_step >= self.disc_start_iter
+                and self.global_step % self.disc_every == 0):
+            d_total, d_losses = self._disc_step(
+                gen_out, self.generator, self.discriminator, self.disc_opt,
+                inputs, targets, step)
+            metrics.update({f"disc/{k}": float(v) for k, v in d_losses.items()})
+            metrics["disc/total"] = float(d_total)
+
+        self.global_step += 1
+        return metrics
+
+    def fit(self, train_loader, val_loader=None) -> tp.Dict[str, float]:
+        get_next = train_loader.next_batch if hasattr(train_loader, "next_batch") else iter(train_loader).__next__
+        last = {}
+        t0 = time.time()
+        while self.global_step < self.cfg.max_steps:
+            last = self.training_step(get_next())
+            s = self.global_step
+            if s % self.cfg.log_every == 0:
+                LOGGER.info("gan step %d: %s (%.2f it/s)", s,
+                            {k: round(v, 4) for k, v in last.items()},
+                            s / max(time.time() - t0, 1e-9))
+                if self._tb:
+                    for k, v in last.items():
+                        self._tb.add_scalar(k, v, s)
+            if self.saver is not None and s % self.cfg.ckpt_every == 0:
+                self.save_checkpoint()
+        if self.saver is not None:
+            self.save_checkpoint()
+        return last
+
+    def save_checkpoint(self, extra: tp.Optional[dict] = None):
+        if self.saver is None:
+            return None
+        state = {
+            "generator": nnx.to_pure_dict(nnx.state(self.generator)),
+            "discriminator": nnx.to_pure_dict(nnx.state(self.discriminator)),
+        }
+        opt_state = {
+            "gen_opt": nnx.to_pure_dict(nnx.state(self.gen_opt)),
+            "disc_opt": nnx.to_pure_dict(nnx.state(self.disc_opt)),
+        }
+        return self.saver.save(self.global_step, state, opt_state, extra=extra)
+
+    def load_checkpoint(self, path) -> dict:
+        tree, payload = ExperimentSaver.load_checkpoint(path)
+        for mod, key in ((self.generator, "generator"), (self.discriminator, "discriminator")):
+            state = nnx.state(mod)
+            nnx.replace_by_pure_dict(state, tree["model"][key])
+            nnx.update(mod, state)
+        self.global_step = int(tree.get("step", 0))
+        return payload
