@@ -1,0 +1,95 @@
+"""Vocos generator: FeatureExtractor -> Backbone -> Head.
+
+Capability parity with the reference Vocos assembly
+(tts/vocoders/vocos/pretrained.py:47, lightning_engine.py:246-260 forward):
+the three stages are selected by params (extractor: mel|audio, backbone:
+vocos|dummy, head: istft|snake_upsample|imdct_symexp|imdct_cos) and the whole
+generator is one jit program including on-device mel extraction.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax.numpy as jnp
+from flax import nnx
+
+from speechflow_tpu.models.vocoder.backbones import DummyBackbone, VocosBackbone
+from speechflow_tpu.models.vocoder.feature_extractors import AudioFeatures, MelFeatures
+from speechflow_tpu.models.vocoder.heads import (
+    IMDCTCosHead,
+    IMDCTSymExpHead,
+    ISTFTHead,
+    SnakeUpsampleHead,
+)
+from speechflow_tpu.training.base_model import BaseModelParams
+
+__all__ = ["Vocos", "VocosParams"]
+
+
+class VocosParams(BaseModelParams):
+    sample_rate: int = 24000
+    n_fft: int = 1024
+    hop_length: int = 256
+    n_mels: int = 100
+
+    feature_extractor: str = "mel"         # mel | audio
+    input_feature: str = "mel"             # for "audio": field name in inputs
+    backbone: str = "vocos"                # vocos | dummy
+    head: str = "istft"                    # istft | snake_upsample | imdct_symexp | imdct_cos
+
+    dim: int = 512
+    n_layers: int = 8
+    mlp_ratio: int = 3
+    cond_dim: tp.Optional[int] = None      # speaker-emb conditioning
+    upsample_rates: tp.Tuple[int, ...] = (8, 8, 2, 2)
+    upsample_channels: int = 256
+    mdct_frame_len: int = 512
+
+
+class Vocos(nnx.Module):
+    def __init__(self, params: VocosParams, rngs: tp.Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.params = params
+        p = params
+
+        if p.feature_extractor == "mel":
+            self.feature_extractor = MelFeatures(p.sample_rate, p.n_fft, p.hop_length,
+                                                 p.n_mels, rngs=rngs)
+        elif p.feature_extractor == "audio":
+            self.feature_extractor = AudioFeatures(p.input_feature, p.n_mels, rngs=rngs)
+        else:
+            raise ValueError(p.feature_extractor)
+
+        feat_dim = self.feature_extractor.dim
+        if p.backbone == "vocos":
+            self.backbone = VocosBackbone(feat_dim, p.dim, p.n_layers, p.mlp_ratio,
+                                          cond_dim=p.cond_dim, rngs=rngs)
+        elif p.backbone == "dummy":
+            self.backbone = DummyBackbone(feat_dim)
+        else:
+            raise ValueError(p.backbone)
+
+        bdim = self.backbone.dim
+        if p.head == "istft":
+            self.head = ISTFTHead(bdim, p.n_fft, p.hop_length, rngs=rngs)
+        elif p.head == "snake_upsample":
+            self.head = SnakeUpsampleHead(bdim, p.upsample_rates,
+                                          channels=p.upsample_channels, rngs=rngs)
+        elif p.head == "imdct_symexp":
+            self.head = IMDCTSymExpHead(bdim, p.mdct_frame_len, rngs=rngs)
+        elif p.head == "imdct_cos":
+            self.head = IMDCTCosHead(bdim, p.mdct_frame_len, rngs=rngs)
+        else:
+            raise ValueError(p.head)
+
+    def __call__(self, inputs: tp.Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+        feats = self.feature_extractor(inputs)
+        cond = inputs.get("speaker_emb") if isinstance(inputs, dict) else None
+        h = self.backbone(feats, cond)
+        wav = self.head(h)
+        # uniform contract: T feature frames -> exactly (T-1)*hop samples
+        return wav[..., : (feats.shape[1] - 1) * self.params.hop_length]
+
+    def features(self, inputs) -> jnp.ndarray:
+        return self.feature_extractor(inputs)

@@ -24,11 +24,18 @@ __all__ = ["hann_window", "frame_signal", "stft", "istft", "magnitude"]
 
 
 @functools.lru_cache(maxsize=None)
-def hann_window(win_len: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Periodic (fftbins=True) Hann window, matching scipy/librosa default."""
+def _hann_np(win_len: int) -> np.ndarray:
     n = np.arange(win_len)
-    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_len)
-    return jnp.asarray(w, dtype=dtype)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_len)).astype(np.float64)
+
+
+def hann_window(win_len: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Periodic (fftbins=True) Hann window, matching scipy/librosa default.
+
+    Only the numpy array is cached — caching a jnp array would capture a
+    tracer when first called inside jit and leak it into later traces.
+    """
+    return jnp.asarray(_hann_np(win_len), dtype=dtype)
 
 
 def frame_signal(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
