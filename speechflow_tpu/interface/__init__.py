@@ -1,0 +1,4 @@
+from speechflow_tpu.interface.tts_interface import TTSEvaluationInterface, TTSContext, TTSOptions
+from speechflow_tpu.interface.vocoder_interface import VocoderEvaluationInterface
+
+__all__ = ["TTSEvaluationInterface", "TTSContext", "TTSOptions", "VocoderEvaluationInterface"]

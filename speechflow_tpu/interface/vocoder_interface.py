@@ -1,0 +1,58 @@
+"""Vocoder inference SDK.
+
+Capability parity with the reference VocoderEvaluationInterface
+(tts/vocoders/eval_interface.py:181,220): load a GAN checkpoint, rebuild the
+generator, ``synthesize(mel | TTSOutput) -> AudioChunk``; ``resynthesize``
+runs waveform -> (on-device mel) -> waveform for copy-synthesis checks.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from speechflow_tpu.io import AudioChunk
+from speechflow_tpu.models.vocoder import Vocos, VocosParams
+from speechflow_tpu.training import ExperimentSaver
+
+__all__ = ["VocoderEvaluationInterface"]
+
+
+class VocoderEvaluationInterface:
+    def __init__(self, ckpt_path: tp.Union[str, Path]):
+        tree, payload = ExperimentSaver.load_checkpoint(ckpt_path)
+        self.payload = payload
+        params = VocosParams.create(payload["model_params"])
+        self.params = params
+        self.model = Vocos(params, rngs=nnx.Rngs(0))
+        state = nnx.state(self.model, nnx.Not(nnx.RngState))
+        model_tree = tree["model"]
+        if "generator" in model_tree:  # GANTrainer checkpoint layout
+            model_tree = model_tree["generator"]
+        nnx.replace_by_pure_dict(state, model_tree)
+        nnx.update(self.model, state)
+
+    @property
+    def sample_rate(self) -> int:
+        return self.params.sample_rate
+
+    def synthesize(self, mel_or_output, speaker_emb: tp.Optional[np.ndarray] = None) -> AudioChunk:
+        mel = getattr(mel_or_output, "after_postnet_spectrogram", mel_or_output)
+        if mel is None:
+            mel = mel_or_output
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        cond = None if speaker_emb is None else jnp.asarray(speaker_emb)
+        wav = np.asarray(self.model.from_features(mel, cond))
+        wav = wav.reshape(-1) if wav.shape[0] == 1 else wav
+        return AudioChunk(data=np.clip(wav, -1.0, 1.0), sr=self.sample_rate)
+
+    def resynthesize(self, audio: AudioChunk) -> AudioChunk:
+        wav = jnp.asarray(audio.load(sr=self.sample_rate).waveform)[None]
+        out = np.asarray(self.model({"waveform": wav}))[0]
+        return AudioChunk(data=np.clip(out, -1.0, 1.0), sr=self.sample_rate)

@@ -1,0 +1,258 @@
+"""ParallelTTSModel: the configurable non-autoregressive acoustic model.
+
+Capability parity with the reference ParallelTTSModel
+(tts/acoustic_models/models/tts_model.py:47): Embedding -> cond0 -> Encoder ->
+cond1 -> VarianceAdaptor -> cond2 -> Decoder -> Postnet (+ additional
+adversarial modules), returning stacked per-stage spectrograms + variance
+predictions + additional losses. Components are selected by name from the
+encoder/decoder/predictor registries (ComponentCollection analogue); the
+GeneralCondition levels (modules/general_condition.py:24) condition the
+content on named global embeddings (speaker/lang/style) via cat/add/adanorm.
+
+The whole forward is one jit program with static (bucketed) token/frame
+lengths; inference reuses the same program with predicted durations.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from speechflow_tpu.models.tts.common import ConditionalLayer, ConvStack, grad_reverse
+from speechflow_tpu.models.tts.data_types import TTSForwardInput, TTSOutput
+from speechflow_tpu.models.tts.decoders import TTS_DECODERS, CFMDecoder
+from speechflow_tpu.models.tts.encoders import TTS_ENCODERS
+from speechflow_tpu.models.tts.predictors import StyleEncoder
+from speechflow_tpu.models.tts.variance_adaptor import (
+    HierarchicalVarianceAdaptor,
+    VarianceConfig,
+)
+from speechflow_tpu.training.base_model import BaseModelParams
+from speechflow_tpu.utils.masks import apply_mask, sequence_mask
+
+__all__ = ["ParallelTTSModel", "ParallelTTSParams"]
+
+
+class ParallelTTSParams(BaseModelParams):
+    # inputs
+    n_symbols: int = 100
+    n_langs: int = 1
+    n_speakers: int = 1
+    n_mels: int = 100
+    max_input_length: int = 512
+    max_output_length: int = 4096
+
+    # embedding
+    token_emb_dim: int = 256
+    speaker_emb_dim: int = 128
+    speaker_emb_mode: str = "table"      # table | input (projection of bio emb)
+    speaker_bio_dim: int = 192
+    lang_emb_dim: int = 32
+    use_ling_feat: bool = False
+    ling_feat_dim: int = 32
+
+    # style (reference-mel VAE)
+    use_style_encoder: bool = False
+    style_emb_dim: int = 128
+    style_use_vae: bool = True
+
+    # conditioning
+    condition_method: str = "cat"        # cat | add | adanorm | film
+    condition_levels: tp.Tuple[int, ...] = (0, 2)  # where to inject cond (0..3)
+
+    # stages
+    encoder_type: str = "transformer"
+    encoder_dim: int = 256
+    encoder_layers: int = 4
+    encoder_heads: int = 4
+
+    variances: tp.Tuple[dict, ...] = (
+        {"name": "aggregate_pitch", "as_embedding": False},
+        {"name": "aggregate_energy", "as_embedding": False},
+        {"name": "durations"},
+    )
+    soft_length_regulator: bool = False
+
+    decoder_type: str = "wrapper"        # wrapper | cfm
+    decoder_dim: int = 256
+    decoder_layers: int = 4
+    decoder_inner: str = "transformer"   # for wrapper
+    cfm_n_timesteps: int = 30
+    cfm_cfg_scale: float = 0.0
+
+    postnet_layers: int = 3
+    postnet_dim: int = 256
+
+    use_gate: bool = True
+    use_inverse_speaker_classifier: bool = False
+    dropout: float = 0.1
+
+
+class ParallelTTSModel(nnx.Module):
+    def __init__(self, params: ParallelTTSParams, rngs: tp.Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.p = params
+        p = params
+
+        # -- embedding stage ---------------------------------------------------
+        self.token_emb = nnx.Embed(p.n_symbols, p.token_emb_dim, rngs=rngs)
+        content_dim = p.token_emb_dim
+        if p.use_ling_feat:
+            self.ling_proj = nnx.Linear(p.ling_feat_dim, p.token_emb_dim, rngs=rngs)
+
+        cond_dim = 0
+        if p.speaker_emb_mode == "table":
+            self.speaker_emb = nnx.Embed(p.n_speakers, p.speaker_emb_dim, rngs=rngs)
+        else:
+            self.speaker_proj = nnx.Linear(p.speaker_bio_dim, p.speaker_emb_dim, rngs=rngs)
+        cond_dim += p.speaker_emb_dim
+        if p.n_langs > 1:
+            self.lang_emb = nnx.Embed(p.n_langs, p.lang_emb_dim, rngs=rngs)
+            cond_dim += p.lang_emb_dim
+        if p.use_style_encoder:
+            self.style_encoder = StyleEncoder(p.n_mels, emb_dim=p.style_emb_dim,
+                                              use_vae=p.style_use_vae, rngs=rngs)
+            cond_dim += p.style_emb_dim
+        self.cond_dim = cond_dim
+
+        # -- condition layers (levels 0..3) --------------------------------------
+        self.conds = nnx.Dict({})
+        self._cond_levels = tuple(p.condition_levels)
+
+        def make_cond(level: int, dim: int):
+            if level in p.condition_levels:
+                self.conds[f"level{level}"] = ConditionalLayer(p.condition_method, dim,
+                                                               cond_dim, rngs=rngs)
+
+        make_cond(0, content_dim)
+
+        # -- encoder ----------------------------------------------------------------
+        self.encoder = TTS_ENCODERS[p.encoder_type](
+            dim_in=content_dim, dim_out=p.encoder_dim, dim=p.encoder_dim,
+            n_layers=p.encoder_layers, n_heads=p.encoder_heads,
+            cond_dim=cond_dim, dropout=p.dropout, rngs=rngs)
+        make_cond(1, p.encoder_dim)
+
+        # -- variance adaptor ----------------------------------------------------------
+        var_cfgs = [VarianceConfig(**v) for v in p.variances]
+        self.variance_adaptor = HierarchicalVarianceAdaptor(
+            p.encoder_dim, var_cfgs, soft_length_regulator=p.soft_length_regulator,
+            max_output_length=p.max_output_length, rngs=rngs)
+        va_dim = self.variance_adaptor.dim_out
+        make_cond(2, va_dim)
+
+        # -- decoder ----------------------------------------------------------------------
+        if p.decoder_type == "cfm":
+            self.decoder = CFMDecoder(dim_in=va_dim, dim_out=p.n_mels, dim=p.decoder_dim,
+                                      n_layers=p.decoder_layers, cond_dim=cond_dim,
+                                      n_timesteps=p.cfm_n_timesteps,
+                                      cfg_scale=p.cfm_cfg_scale, rngs=rngs)
+        else:
+            self.decoder = TTS_DECODERS[p.decoder_type](
+                dim_in=va_dim, dim_out=p.n_mels, inner=p.decoder_inner,
+                dim=p.decoder_dim, n_layers=p.decoder_layers, rngs=rngs)
+        make_cond(3, p.n_mels)
+
+        # -- postnet / heads ----------------------------------------------------------------
+        self.postnet = ConvStack(p.n_mels, p.postnet_dim, p.n_mels,
+                                 n_layers=p.postnet_layers, kernel_size=5,
+                                 dropout=p.dropout, rngs=rngs)
+        if p.use_gate:
+            self.gate_head = nnx.Linear(p.n_mels, 1, rngs=rngs)
+        if p.use_inverse_speaker_classifier:
+            self.inv_spk = nnx.Linear(p.n_mels, p.n_speakers, rngs=rngs)
+
+    # -- embeddings -------------------------------------------------------------
+
+    def _global_condition(self, inputs: TTSForwardInput, training: bool,
+                          losses: dict) -> jnp.ndarray:
+        p = self.p
+        parts = []
+        if p.speaker_emb_mode == "table":
+            sid = jnp.maximum(inputs.speaker_id, 0)
+            parts.append(self.speaker_emb(sid))
+        else:
+            parts.append(self.speaker_proj(inputs.speaker_emb))
+        if p.n_langs > 1:
+            parts.append(self.lang_emb(jnp.maximum(inputs.lang_id, 0)))
+        if p.use_style_encoder:
+            style, vae = self.style_encoder(inputs.mel, inputs.mel_lengths,
+                                            deterministic=not training)
+            parts.append(style)
+            if vae is not None:
+                mu, logvar = vae
+                losses["vae_kl"] = jnp.mean(
+                    -0.5 * (1 + logvar - mu**2 - jnp.exp(logvar)))
+        return jnp.concatenate(parts, axis=-1)
+
+    def _cond(self, level: int, x, cond):
+        if level not in self._cond_levels:
+            return x
+        return self.conds[f"level{level}"](x, cond)
+
+    # -- forward ------------------------------------------------------------------
+
+    def __call__(self, inputs: TTSForwardInput, training: bool = True,
+                 t_out: tp.Optional[int] = None) -> TTSOutput:
+        p = self.p
+        losses: tp.Dict[str, jnp.ndarray] = {}
+        extra: tp.Dict[str, jnp.ndarray] = {}
+
+        tok_lens = inputs.transcription_lengths
+        x = self.token_emb(inputs.transcription)
+        if p.use_ling_feat and inputs.ling_feat is not None:
+            x = x + self.ling_proj(inputs.ling_feat)
+
+        cond = self._global_condition(inputs, training, losses)
+        x = self._cond(0, x, cond)
+        x = self.encoder(x, tok_lens, cond, deterministic=not training)
+        x = self._cond(1, x, cond)
+
+        if t_out is None:
+            t_out = inputs.mel.shape[1] if inputs.mel is not None else p.max_output_length
+        x, out_lengths, var_preds, attn = self.variance_adaptor(
+            x, tok_lens, inputs, t_out, training=training,
+            deterministic=not training)
+        if inputs.mel_lengths is not None and training:
+            out_lengths = inputs.mel_lengths
+        x = self._cond(2, x, cond)
+
+        if isinstance(self.decoder, CFMDecoder):
+            if training:
+                mu, cfm_losses = self.decoder.forward_train(
+                    x, out_lengths, inputs.mel, cond)
+                losses.update(cfm_losses)
+                dec_out = mu
+            else:
+                mu, dec_out = self.decoder.generate(x, out_lengths, cond)
+                extra["cfm_prior"] = mu
+        else:
+            dec_out = self.decoder(x, out_lengths, cond, deterministic=not training)
+
+        post = dec_out + self.postnet(dec_out, deterministic=not training)
+        mask = sequence_mask(out_lengths, post.shape[1])
+        post = apply_mask(post, mask)
+        spec = jnp.stack([dec_out, post])
+
+        gate = None
+        if p.use_gate:
+            gate = self.gate_head(dec_out)[..., 0]
+        if p.use_inverse_speaker_classifier:
+            pooled = jnp.mean(grad_reverse(post), axis=1)
+            extra["inverse_speaker_logits"] = self.inv_spk(pooled)
+
+        return TTSOutput(
+            spectrogram=spec,
+            spectrogram_lengths=out_lengths,
+            gate=gate,
+            variance_predictions=var_preds,
+            attention=attn,
+            additional_content=extra,
+            additional_losses=losses,
+        )
+
+    def inference(self, inputs: TTSForwardInput, t_out: tp.Optional[int] = None) -> TTSOutput:
+        return self(inputs, training=False, t_out=t_out)

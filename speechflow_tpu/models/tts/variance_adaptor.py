@@ -1,0 +1,128 @@
+"""Hierarchical variance adaptor.
+
+Capability parity with the reference HierarchicalVarianceAdaptor
+(tts/acoustic_models/modules/components/variance_adaptors/hierarchical_va.py:31,
+execution semantics in SURVEY §A.1): runs configured variances in order; the
+``durations`` variance is special-cased (teacher forcing when training,
+prediction at inference) and triggers **length regulation** of the content
+(matmul hard/soft regulator from ops); other variances (pitch/energy/...)
+are predicted per token, teacher-forced at train time, optionally embedded
+via VarianceEmbedding, and concatenated to or overwriting the content.
+Predictions are returned for the regression losses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import typing as tp
+
+import jax.numpy as jnp
+from flax import nnx
+
+from speechflow_tpu.models.tts.common import VarianceEmbedding
+from speechflow_tpu.models.tts.predictors import TokenLevelDP, VariancePredictor
+from speechflow_tpu.ops import length_regulate_hard, length_regulate_soft
+
+__all__ = ["VarianceConfig", "HierarchicalVarianceAdaptor"]
+
+
+@dataclasses.dataclass
+class VarianceConfig:
+    name: str                         # "durations" | "aggregate_pitch" | ...
+    target: tp.Optional[str] = None   # input field with supervision (default: name)
+    dim: int = 256
+    n_layers: int = 3
+    kernel_size: int = 5
+    dropout: float = 0.1
+    use_target: bool = True           # teacher-force at training time
+    detach_input: bool = False
+    as_embedding: bool = False        # bucketize+embed instead of raw cat
+    interval: tp.Tuple[float, float] = (0.0, 880.0)
+    n_bins: int = 256
+    emb_dim: int = 64
+    cat_to_content: bool = True
+    log_scale_embedding: bool = False
+
+
+class HierarchicalVarianceAdaptor(nnx.Module):
+    def __init__(self, dim: int, variances: tp.Sequence[VarianceConfig],
+                 soft_length_regulator: bool = False, max_output_length: int = 4096,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.variances = list(variances)
+        self.soft_lr = soft_length_regulator
+        self.max_output_length = max_output_length
+        self.dim = dim
+
+        self.predictors = nnx.Dict({})
+        self.embeddings = nnx.Dict({})
+        cur_dim = dim
+        for v in self.variances:
+            if v.name == "durations":
+                self.predictors[v.name] = TokenLevelDP(cur_dim, v.dim, rngs=rngs)
+            else:
+                self.predictors[v.name] = VariancePredictor(
+                    cur_dim, v.dim, v.n_layers, v.kernel_size, v.dropout, rngs=rngs)
+                if v.cat_to_content:
+                    if v.as_embedding:
+                        self.embeddings[v.name] = VarianceEmbedding(
+                            v.interval, v.n_bins, v.emb_dim,
+                            log_scale=v.log_scale_embedding, rngs=rngs)
+                        cur_dim += v.emb_dim
+                    else:
+                        cur_dim += 1
+        self.dim_out = cur_dim
+
+    def __call__(
+        self,
+        content: jnp.ndarray,                 # (B, N, D) token-level
+        token_lengths: jnp.ndarray,           # (B,)
+        inputs,                               # TTSForwardInput (teacher targets)
+        t_out: int,                           # static max output frames
+        training: bool = True,
+        deterministic: bool = True,
+    ):
+        import jax
+
+        predictions: tp.Dict[str, jnp.ndarray] = {}
+        x = content
+
+        # 1) non-duration variances: predict, (teacher-)condition the content
+        for v in self.variances:
+            if v.name == "durations":
+                continue
+            inp = jax.lax.stop_gradient(x) if v.detach_input else x
+            pred = self.predictors[v.name](inp, token_lengths, deterministic=deterministic)
+            predictions[v.name] = pred
+            target = inputs.get(v.target or v.name)
+            value = target if (training and v.use_target and target is not None) \
+                else jax.lax.stop_gradient(pred)
+            if v.cat_to_content:
+                if v.as_embedding:
+                    feat = self.embeddings[v.name](value)
+                else:
+                    feat = value[..., None]
+                x = jnp.concatenate([x, feat], axis=-1)
+
+        # 2) durations + length regulation
+        dur_cfg = next((v for v in self.variances if v.name == "durations"), None)
+        attn = None
+        out_lengths = token_lengths
+        if dur_cfg is not None:
+            log_d = self.predictors["durations"](
+                jax.lax.stop_gradient(x) if dur_cfg.detach_input else x,
+                token_lengths, deterministic=deterministic)
+            predictions["durations"] = log_d  # log(1+d) domain for the loss
+            target_d = inputs.get("durations")
+            if training and dur_cfg.use_target and target_d is not None:
+                durations = target_d
+            else:
+                durations = TokenLevelDP.to_durations(log_d, token_lengths)
+                durations = jnp.round(durations)
+            if self.soft_lr:
+                x, attn = length_regulate_soft(x, durations, t_out)
+            else:
+                x, attn = length_regulate_hard(x, durations, t_out)
+            out_lengths = jnp.clip(durations.sum(axis=-1), 1, t_out).astype(jnp.int32)
+
+        return x, out_lengths, predictions, attn

@@ -93,3 +93,15 @@ class Vocos(nnx.Module):
 
     def features(self, inputs) -> jnp.ndarray:
         return self.feature_extractor(inputs)
+
+    def from_features(self, feats: jnp.ndarray,
+                      cond: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Bypass the feature extractor: (B, T, feat_dim) -> waveform.
+
+        The TTS->vocoder handoff path (SURVEY §A.4): the acoustic model's mel
+        goes straight to backbone + head. Caller must match the training-time
+        feature convention (log-mel scale/normalization).
+        """
+        h = self.backbone(feats, cond)
+        wav = self.head(h)
+        return wav[..., : (feats.shape[1] - 1) * self.params.hop_length]

@@ -1,0 +1,89 @@
+"""Shared CLI/train-script scaffolding.
+
+Capability parity with the reference config_prepare / train_arguments
+(speechflow/training/utils/config_prepare.py:72,145): parse -c model config /
+-cd data config / -vs value-select flags / -r resume dir, apply value_select,
+create the experiment dir + saver, wire the data plane, and update the model
+config from pipeline info (alphabet size, n_speakers, n_langs, n_mels) — the
+analogue of the reference's update_model_config <- DataClient.find_info.
+"""
+
+from __future__ import annotations
+
+import argparse
+import typing as tp
+from pathlib import Path
+
+from speechflow_tpu.data.core.components import DataPipeline
+from speechflow_tpu.io import Config
+from speechflow_tpu.server import LoaderBundle, init_data_loader
+from speechflow_tpu.training import ExperimentSaver
+from speechflow_tpu.training.optimizer import OptimizerConfig
+from speechflow_tpu.training.trainer import TrainerConfig
+
+__all__ = ["train_arguments", "config_prepare", "build_data", "model_config_from_info"]
+
+
+def train_arguments() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--model_config", required=True)
+    p.add_argument("-cd", "--data_config", required=True)
+    p.add_argument("-vs", "--value_select", nargs="*", default=None)
+    p.add_argument("-r", "--resume_from", default=None)
+    p.add_argument("-w", "--warmstart", default=None)
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--max_steps", type=int, default=None)
+    return p
+
+
+def config_prepare(args) -> tp.Tuple[Config, Config, ExperimentSaver]:
+    model_cfg = Config.create_from_file(args.model_config, value_select=args.value_select)
+    data_cfg = Config.create_from_file(args.data_config, value_select=args.value_select)
+    if args.data_root:
+        data_cfg.set_path("dirs.data_root", args.data_root)
+    if args.max_steps:
+        model_cfg.set_path("trainer.max_steps", args.max_steps)
+
+    exp = model_cfg.section("experiment")
+    saver = ExperimentSaver(exp.get("base_dir", "experiments"),
+                            expr_suffix=exp.get("name", "run"))
+    saver.save_configs(data_cfg_text=data_cfg.to_yaml(),
+                       model_cfg_text=model_cfg.to_yaml())
+    return model_cfg, data_cfg, saver
+
+
+def build_data(data_cfg: Config, model_cfg: Config) -> tp.Tuple[DataPipeline, LoaderBundle]:
+    pipeline = DataPipeline(data_cfg).init_components()
+    dl_cfg = model_cfg.section("data_loaders")
+    bundle = init_data_loader(
+        pipeline=pipeline,
+        batch_size=int(model_cfg.get_path("batch.size", 8)),
+        n_workers=int(dl_cfg.get("n_workers", 2)),
+        prefetch_factor=int(dl_cfg.get("prefetch_factor", 8)),
+    )
+    return pipeline, bundle
+
+
+def model_config_from_info(model_cfg: Config, pipeline: DataPipeline) -> dict:
+    """Inject dataset-derived dimensions into the model params dict."""
+    info = pipeline.get_info()
+    m = model_cfg.section("model").to_dict()
+    if pipeline.alphabet is not None:
+        m["n_symbols"] = len(pipeline.alphabet)
+    spk = info["singletons"].get("SpeakerIDSetter", {})
+    m["n_speakers"] = max(len(spk.get("speaker2id", {})), 1)
+    m["n_langs"] = max(len(spk.get("lang2id", {})), 1)
+    mel_cfg = Config(info["config"]).get_path("preproc.pipe_cfg.linear_to_mel.n_mels")
+    if mel_cfg:
+        m["n_mels"] = int(mel_cfg)
+    return m
+
+
+def trainer_config(model_cfg: Config) -> TrainerConfig:
+    t = model_cfg.section("trainer").to_dict()
+    known = {"max_steps", "log_every", "val_every", "ckpt_every", "val_batches"}
+    return TrainerConfig(**{k: int(v) for k, v in t.items() if k in known})
+
+
+def optimizer_config(model_cfg: Config) -> OptimizerConfig:
+    return OptimizerConfig.from_config(model_cfg.section("optimizer").to_dict())

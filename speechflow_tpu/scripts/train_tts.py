@@ -1,0 +1,75 @@
+"""Acoustic-model training CLI.
+
+Capability parity with ``python -m tts.acoustic_models.scripts.train``
+(reference scripts/train.py:168, call stack in SURVEY §3.1):
+LoggingServer -> data plane (server + workers + loaders) -> model/criterion/
+optimizer from config + pipeline info -> Trainer.fit with checkpoints that
+embed configs, alphabet and speaker maps.
+
+Usage:
+  python -m speechflow_tpu.scripts.train_tts -c configs/tts_model.yml \
+      -cd configs/tts_data_24khz.yml -vs debug
+"""
+
+from __future__ import annotations
+
+import logging
+
+from flax import nnx
+
+from speechflow_tpu.logging import LoggingServer
+from speechflow_tpu.models.tts import (
+    ParallelTTSModel,
+    ParallelTTSParams,
+    TTSBatchProcessor,
+    TTSCriterion,
+)
+from speechflow_tpu.scripts.common import (
+    build_data,
+    config_prepare,
+    model_config_from_info,
+    optimizer_config,
+    train_arguments,
+    trainer_config,
+)
+from speechflow_tpu.training import ExperimentSaver, Trainer
+from speechflow_tpu.utils.init import filter_kwargs
+
+LOGGER = logging.getLogger("speechflow_tpu")
+
+
+def train(model_cfg, data_cfg, saver) -> str:
+    pipeline, bundle = build_data(data_cfg, model_cfg)
+    try:
+        m_dict = model_config_from_info(model_cfg, pipeline)
+        params = ParallelTTSParams.create(m_dict)
+        model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+        loss_cfg = model_cfg.section("loss").to_dict()
+        criterion = TTSCriterion(**filter_kwargs(TTSCriterion.__init__, loss_cfg))
+
+        info = pipeline.get_info()
+        saver.to_save["pipeline_info"] = info
+        saver.to_save["model_params"] = params.to_dict()
+
+        trainer = Trainer(
+            model, criterion, TTSBatchProcessor(),
+            optimizer_config(model_cfg), trainer_config(model_cfg),
+            saver=saver, tb_dir=saver.expr_path / "tb",
+        )
+        last = trainer.fit(bundle["train"],
+                           bundle.loaders.get("test"))
+        LOGGER.info("training done: %s", last)
+        return str(saver.expr_path)
+    finally:
+        bundle.shutdown()
+
+
+def main(argv=None) -> str:
+    args = train_arguments().parse_args(argv)
+    model_cfg, data_cfg, saver = config_prepare(args)
+    with LoggingServer.ctx(saver.expr_path):
+        return train(model_cfg, data_cfg, saver)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,8 @@ class DataLoader:
 
         self._queue: deque = deque()
         self._outstanding = 0
+        self._reorder: tp.Dict[int, tp.Optional[Batch]] = {}  # seq -> batch (None = failed)
+        self._next_seq = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._last_recv = time.time()
@@ -107,7 +109,9 @@ class DataLoader:
         while not self._stop.is_set():
             if not self._socket.poll(100):
                 self._request_more()
-                if time.time() - self._last_recv > self.dead_after_s:
+                # silence is only suspicious when we're actually starved
+                if (time.time() - self._last_recv > self.dead_after_s
+                        and self._outstanding > 0 and not self._queue):
                     LOGGER.warning("loader %s: server silent for %.0fs", self.uid[:6], self.dead_after_s)
                     self._last_recv = time.time()
                 continue
@@ -117,13 +121,30 @@ class DataLoader:
             if mtype == "batch":
                 self._outstanding = max(0, self._outstanding - 1)
                 batch: Batch = Serialize.load(msg["batch_blob"])
-                if batch is not None:
-                    with self._lock:
-                        self._queue.append(batch)
-            elif mtype in ("reject", "batch_failed"):
+                self._enqueue_ordered(msg.get("seq"), batch)
+            elif mtype == "batch_failed":
+                self._outstanding = max(0, self._outstanding - 1)
+                self._enqueue_ordered(msg.get("seq"), None)
+            elif mtype == "reject":
                 self._outstanding = max(0, self._outstanding - 1)
                 time.sleep(0.05)
             self._request_more()
+
+    def _enqueue_ordered(self, seq: tp.Optional[int], batch: tp.Optional[Batch]) -> None:
+        """Workers finish out of order; release batches strictly by sequence so
+        the epoch boundary (is_last) is seen in sampling order."""
+        if seq is None:  # server without seq support: best-effort order
+            if batch is not None:
+                with self._lock:
+                    self._queue.append(batch)
+            return
+        self._reorder[seq] = batch
+        with self._lock:
+            while self._next_seq in self._reorder:
+                b = self._reorder.pop(self._next_seq)
+                self._next_seq += 1
+                if b is not None:
+                    self._queue.append(b)
 
     # -- consumption -----------------------------------------------------------
 

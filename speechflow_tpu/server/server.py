@@ -79,6 +79,9 @@ class DataServer(ProcessWorker):
         self.inflight: tp.Dict[str, dict] = {}
         self.known_workers: tp.Set[bytes] = set()
         self.samplers: tp.Dict[tp.Tuple[str, str], tp.Any] = {}
+        # per-(loader, subset) sequence counter: workers may finish out of
+        # order, the loader reorders by seq so epoch boundaries stay exact
+        self.seq: tp.Dict[tp.Tuple[bytes, str], int] = {}
 
     def _sampler_for(self, subset: str, loader_uid: str):
         key = (subset, loader_uid if self.synchronize_loaders else "__shared__")
@@ -117,6 +120,9 @@ class DataServer(ProcessWorker):
             sampler = self._sampler_for(subset, msg.get("uid", ""))
             samples, is_last = sampler.sampling(msg["batch_size"])
             task_id = uuid.uuid4().hex
+            seq_key = (ident, subset)
+            seq = self.seq.get(seq_key, 0)
+            self.seq[seq_key] = seq + 1
             task = {
                 "type": "task",
                 "task_id": task_id,
@@ -124,7 +130,7 @@ class DataServer(ProcessWorker):
                 "is_last": is_last,
                 "samples_blob": Serialize.dump([s for s in samples]),
             }
-            self.inflight[task_id] = {"loader": ident, "subset": subset}
+            self.inflight[task_id] = {"loader": ident, "subset": subset, "seq": seq}
             self.tasks.append(task)
         elif mtype == "abort":
             # drop queued tasks destined for this loader (ident = ZMQ identity)
@@ -158,6 +164,7 @@ class DataServer(ProcessWorker):
                 self.frontend.send_multipart([meta["loader"], pickle.dumps({
                     "type": "batch",
                     "subset": meta["subset"],
+                    "seq": meta["seq"],
                     "batch_blob": msg["batch_blob"],
                 })])
             # the worker re-announces "ready" itself after each task
@@ -166,7 +173,8 @@ class DataServer(ProcessWorker):
             LOGGER.warning("worker error on task %s: %s", msg.get("task_id"), msg.get("error"))
             if meta is not None:
                 self.frontend.send_multipart([meta["loader"], pickle.dumps({
-                    "type": "batch_failed", "subset": meta["subset"]})])
+                    "type": "batch_failed", "subset": meta["subset"],
+                    "seq": meta["seq"]})])
 
     def _dispatch(self) -> None:
         while self.tasks and self.idle_workers:

@@ -140,19 +140,19 @@ class GANTrainer:
         if self.saver is None:
             return None
         state = {
-            "generator": nnx.to_pure_dict(nnx.state(self.generator)),
-            "discriminator": nnx.to_pure_dict(nnx.state(self.discriminator)),
+            "generator": nnx.to_pure_dict(nnx.state(self.generator, nnx.Not(nnx.RngState))),
+            "discriminator": nnx.to_pure_dict(nnx.state(self.discriminator, nnx.Not(nnx.RngState))),
         }
         opt_state = {
-            "gen_opt": nnx.to_pure_dict(nnx.state(self.gen_opt)),
-            "disc_opt": nnx.to_pure_dict(nnx.state(self.disc_opt)),
+            "gen_opt": nnx.to_pure_dict(nnx.state(self.gen_opt, nnx.Not(nnx.RngState))),
+            "disc_opt": nnx.to_pure_dict(nnx.state(self.disc_opt, nnx.Not(nnx.RngState))),
         }
         return self.saver.save(self.global_step, state, opt_state, extra=extra)
 
     def load_checkpoint(self, path) -> dict:
         tree, payload = ExperimentSaver.load_checkpoint(path)
         for mod, key in ((self.generator, "generator"), (self.discriminator, "discriminator")):
-            state = nnx.state(mod)
+            state = nnx.state(mod, nnx.Not(nnx.RngState))
             nnx.replace_by_pure_dict(state, tree["model"][key])
             nnx.update(mod, state)
         self.global_step = int(tree.get("step", 0))

@@ -196,17 +196,17 @@ class Trainer:
     def save_checkpoint(self, extra: tp.Optional[dict] = None) -> tp.Optional[Path]:
         if self.saver is None:
             return None
-        model_state = nnx.to_pure_dict(nnx.state(self.model))
-        opt_state = nnx.to_pure_dict(nnx.state(self.optimizer))
+        model_state = nnx.to_pure_dict(nnx.state(self.model, nnx.Not(nnx.RngState)))
+        opt_state = nnx.to_pure_dict(nnx.state(self.optimizer, nnx.Not(nnx.RngState)))
         return self.saver.save(self.global_step, model_state, opt_state, extra=extra)
 
     def load_checkpoint(self, path: tp.Union[str, Path]) -> dict:
         tree, payload = ExperimentSaver.load_checkpoint(path)
-        state = nnx.state(self.model)
+        state = nnx.state(self.model, nnx.Not(nnx.RngState))
         nnx.replace_by_pure_dict(state, tree["model"])
         nnx.update(self.model, state)
         if "opt" in tree and tree["opt"] is not None:
-            opt_state = nnx.state(self.optimizer)
+            opt_state = nnx.state(self.optimizer, nnx.Not(nnx.RngState))
             nnx.replace_by_pure_dict(opt_state, tree["opt"])
             nnx.update(self.optimizer, opt_state)
         self.global_step = int(tree.get("step", 0))
