@@ -45,64 +45,23 @@ class ISTFTHead(nnx.Module):
         return ops.istft(spec, self.n_fft, self.hop_length)
 
 
-def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
-    """SnakeBeta activation x + (1/beta) sin^2(alpha x), log-scale parameters
-    (reference: alias_free_activation snake with separate alpha/beta)."""
-    a = jnp.exp(alpha)
-    b = jnp.exp(beta)
-    return x + (1.0 / (b + 1e-9)) * jnp.sin(a * x) ** 2
-
-
-def _kaiser_sinc_filter(cutoff: float, half_width: float, taps: int) -> np.ndarray:
-    """Kaiser-windowed sinc low-pass (reference: alias_free_activation/torch/filter.py)."""
-    even = taps % 2 == 0
-    half = taps // 2
-    delta_f = 4 * half_width
-    a = 2.285 * (half - 1) * math.pi * delta_f + 7.95
-    if a > 50.0:
-        beta = 0.1102 * (a - 8.7)
-    elif a >= 21.0:
-        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
-    else:
-        beta = 0.0
-    t = np.arange(-half, half) + 0.5 if even else np.arange(taps) - half
-    window = np.kaiser(taps, beta)
-    ideal = 2 * cutoff * np.sinc(2 * cutoff * t)
-    filt = ideal * window
-    return (filt / filt.sum()).astype(np.float32)
-
-
 class AntiAliasedSnake(nnx.Module):
     """upsample2x (FIR interp) -> snake-beta -> FIR -> downsample2x.
 
     The TPU replacement for the reference's fused CUDA anti_alias_activation
-    (SURVEY §2.4 item 1): expressed as two 1-D convolutions around the
-    activation, which XLA fuses into the surrounding convs on TPU.
+    (SURVEY §2.4 item 1). Delegates to ops.anti_alias.anti_alias_snake (XLA
+    composition by default; a validated Pallas tile kernel exists alongside).
     """
 
     def __init__(self, channels: int, taps: int = 12, rngs: nnx.Rngs = None):
         self.alpha = nnx.Param(jnp.zeros((channels,)))
         self.beta = nnx.Param(jnp.zeros((channels,)))
-        filt = _kaiser_sinc_filter(0.25, 0.15, taps)
-        self.filt = jnp.asarray(filt)
         self.taps = taps
 
-    def _conv(self, x: jnp.ndarray, kernel: jnp.ndarray, stride: int = 1) -> jnp.ndarray:
-        # x: (B, T, C) depthwise same-filter conv
-        c = x.shape[-1]
-        k = jnp.tile(kernel[:, None, None], (1, 1, c))  # (taps, 1, C)
-        return jax.lax.conv_general_dilated(
-            x, k, window_strides=(stride,), padding="SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=c)
-
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, t, c = x.shape
-        # 2x zero-stuff upsample + interpolating FIR (gain 2)
-        up = jnp.zeros((b, t * 2, c), x.dtype).at[:, ::2, :].set(x)
-        up = self._conv(up, self.filt * 2.0)
-        up = snake_beta(up, self.alpha[...], self.beta[...])
-        up = self._conv(up, self.filt)
-        return up[:, ::2, :]
+        from speechflow_tpu.ops.anti_alias import anti_alias_snake
+
+        return anti_alias_snake(x, self.alpha[...], self.beta[...])
 
 
 class ResBlock(nnx.Module):
