@@ -1,0 +1,7 @@
+from speechflow_tpu.annotator.asr import ASRBase, FileASR, WhisperASR, run_audio_transcription
+from speechflow_tpu.annotator.text_alignment import align_words, normalize_word
+from speechflow_tpu.annotator.seg_generator import SegGenerator
+from speechflow_tpu.annotator.align import Aligner, AlignStage
+
+__all__ = ["ASRBase", "FileASR", "WhisperASR", "run_audio_transcription",
+           "align_words", "normalize_word", "SegGenerator", "Aligner", "AlignStage"]

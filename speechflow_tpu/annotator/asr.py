@@ -1,0 +1,97 @@
+"""ASR services for dataset annotation.
+
+Capability parity with the reference transcription step
+(annotator/audio_transcription.py:67, asr_services/openai_asr.py:25): produce
+``.whisper`` JSON files ({"text", "timestamps": [[word, begin, end], ...]})
+next to each audio file. Backends: ``WhisperASR`` (HF transformers Whisper,
+loaded lazily — requires local weights in this zero-egress environment),
+``FileASR`` (reads existing .whisper files — also how downstream steps consume
+step-0 output), or any callable injected behind ``ASRBase``.
+"""
+
+from __future__ import annotations
+
+import json
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+from speechflow_tpu.io import AudioChunk
+
+__all__ = ["ASRBase", "FileASR", "WhisperASR", "run_audio_transcription"]
+
+
+class ASRBase:
+    def transcribe(self, audio: AudioChunk) -> dict:
+        """-> {"text": str, "timestamps": [[word, begin_s, end_s], ...]}"""
+        raise NotImplementedError
+
+    def __call__(self, path: tp.Union[str, Path]) -> dict:
+        return self.transcribe(AudioChunk(file_path=path).load())
+
+
+class FileASR(ASRBase):
+    """Reads pre-computed .whisper sidecar files (reference format:
+    {"text": ..., "timestamps": [[word, b, e], ...]})."""
+
+    def __call__(self, path: tp.Union[str, Path]) -> dict:
+        side = Path(path).with_suffix(".whisper")
+        data = json.loads(side.read_text(encoding="utf-8"))
+        return data
+
+    def transcribe(self, audio: AudioChunk) -> dict:
+        return self(audio.file_path)
+
+
+class WhisperASR(ASRBase):
+    """HF Whisper (lazy). Word timestamps via the model's cross-attention
+    alignment when available; sentence-level otherwise."""
+
+    def __init__(self, model_name: str = "openai/whisper-small", device: str = "cpu"):
+        self.model_name = model_name
+        self.device = device
+        self._pipe = None
+
+    def _load(self):
+        if self._pipe is None:
+            from transformers import pipeline
+
+            self._pipe = pipeline(
+                "automatic-speech-recognition", model=self.model_name,
+                device=-1 if self.device == "cpu" else 0,
+                return_timestamps="word")
+        return self._pipe
+
+    def transcribe(self, audio: AudioChunk) -> dict:
+        pipe = self._load()
+        audio = audio.copy().resample(16000)
+        out = pipe({"raw": np.asarray(audio.waveform), "sampling_rate": 16000})
+        stamps = [[c["text"].strip(), float(c["timestamp"][0] or 0.0),
+                   float(c["timestamp"][1] or audio.duration)]
+                  for c in out.get("chunks", [])]
+        return {"text": out["text"].strip(), "timestamps": stamps}
+
+
+def run_audio_transcription(
+    data_root: tp.Union[str, Path],
+    asr: tp.Optional[ASRBase] = None,
+    ext: str = ".wav",
+    n_processes: int = 0,
+    overwrite: bool = False,
+) -> int:
+    """Step 0: write a .whisper JSON next to every audio file; returns count."""
+    from speechflow_tpu.io import construct_file_list
+
+    asr = asr or WhisperASR()
+    files = construct_file_list(data_root, ext=ext)
+    done = 0
+    for f in files:
+        side = Path(f).with_suffix(".whisper")
+        if side.exists() and not overwrite:
+            done += 1
+            continue
+        result = asr(f)
+        side.write_text(json.dumps(result, ensure_ascii=False, indent=2), encoding="utf-8")
+        done += 1
+    return done

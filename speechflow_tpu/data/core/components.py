@@ -95,13 +95,18 @@ class PipelineComponents:
         self.dataset = dataset
 
     def fit_singletons(self, shared: tp.Optional[tp.Dict[str, tp.Any]] = None) -> None:
-        """Fit (or adopt pre-fitted) singleton handlers and apply to samples."""
-        names = self.cfg.get("singleton_handlers", []) or []
-        for name in names:
+        """Fit (or adopt pre-fitted) singleton handlers and apply to samples.
+
+        Config may be a list of names or a mapping {name: kwargs}
+        (e.g. StatisticsRange: {ranges_file: dump/ranges.json}).
+        """
+        spec = self.cfg.get("singleton_handlers", []) or []
+        items = spec.items() if isinstance(spec, dict) else [(n, {}) for n in spec]
+        for name, kwargs in items:
             if shared and name in shared:
                 inst = shared[name]
             else:
-                inst = SINGLETON_HANDLERS[name]()
+                inst = SINGLETON_HANDLERS[name](**dict(kwargs or {}))
                 inst.fit(self.dataset)
             self.singletons[name] = inst
         for inst in self.singletons.values():

@@ -100,15 +100,28 @@ class SpeakerIDSetter(BaseSingleton):
 
 
 class StatisticsRange(BaseSingleton):
-    """Per-speaker {feature: (min, max, mean, std)} for denormalization."""
+    """Per-speaker {feature: (min, max, mean, std)} for denormalization.
+
+    Ranges depend on post-preproc features, so at parse time ``fit`` usually
+    sees nothing — the dump script (scripts/dump.py) computes and saves
+    ``ranges.json`` (the reference's file of the same name) which this
+    singleton loads via ``ranges_file``.
+    """
 
     FEATURES = ("pitch", "energy", "aggregate_pitch", "aggregate_energy")
 
-    def __init__(self):
+    def __init__(self, ranges_file: tp.Optional[str] = None):
         self.ranges: tp.Dict[str, tp.Dict[str, tp.Tuple[float, float, float, float]]] = {}
-        self._acc: tp.Dict[tp.Tuple[str, str], list] = {}
+        if ranges_file:
+            import json
+            from pathlib import Path
+
+            if Path(ranges_file).exists():
+                self.ranges = json.loads(Path(ranges_file).read_text())
 
     def fit(self, dataset: Dataset) -> "StatisticsRange":
+        if self.ranges:
+            return self  # loaded from ranges.json
         acc: tp.Dict[tp.Tuple[str, str], tp.List[np.ndarray]] = {}
         for ds in dataset:
             spk = getattr(ds, "speaker_name", None) or "__all__"

@@ -235,7 +235,24 @@ class AudioSeg:
             seg.audio_chunk.load()
         return seg
 
+    @staticmethod
+    def _plain(v):
+        """numpy scalars/arrays -> python types so the meta repr stays
+        ast.literal_eval-parsable on reload."""
+        if isinstance(v, np.generic):
+            return v.item()
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, dict):
+            return {k: AudioSeg._plain(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [AudioSeg._plain(x) for x in v]
+        if isinstance(v, Path):
+            return str(v)
+        return v
+
     def save(self, path: tp.Union[str, Path], with_audio: bool = False) -> None:
+        self.meta = self._plain(self.meta)
         meta_tier = Tier("meta", [(self.grid.xmin, self.grid.xmax, repr(self.meta))])
         self.grid.add(meta_tier)
         self.grid.save(path)

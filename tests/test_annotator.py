@@ -1,0 +1,95 @@
+"""Annotator tests: text<->ASR fuzzy alignment, seg generation over the real
+SRC dataset (committed .whisper transcripts), and aligner TextGrid emission
+from a debug-trained checkpoint."""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+SRC = "/root/reference/examples/simple_datasets/speech/SRC/EN/OPENSOURCE_VOICES/001_LJSpeech/LJSpeech-1.1/wavs"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SRC), reason="reference SRC unavailable")
+
+
+def test_align_words_exact_and_fuzzy():
+    from speechflow_tpu.annotator.text_alignment import align_words, tokenize_text
+
+    asr = [["hello", 0.0, 0.4], ["wrld", 0.5, 0.9], ["again", 1.0, 1.4]]
+    ref = tokenize_text("Hello, world again!")
+    out = align_words(ref, asr, total_duration=1.5)
+    assert [w for w, _, _ in out] == ["Hello,", "world", "again!"]
+    # exact matches keep their timestamps
+    assert out[0][1] == 0.0 and out[0][2] == 0.4
+    assert out[2][1] == 1.0
+    # the fuzzy-missed middle word is interpolated inside (0.4, 1.0)
+    assert 0.4 <= out[1][1] < out[1][2] <= 1.0
+    # monotone
+    for i in range(1, 3):
+        assert out[i][1] >= out[i - 1][2] - 1e-9
+
+
+def test_seg_generator_on_real_src(tmp_path):
+    from speechflow_tpu.annotator.asr import FileASR
+    from speechflow_tpu.annotator.seg_generator import SegGenerator
+    from speechflow_tpu.io import AudioSeg
+
+    gen = SegGenerator(asr=FileASR(), lang="EN", speaker_name="LJSpeech",
+                       max_duration=8.0)
+    paths = gen.process_file(Path(SRC) / "LJ001-0001.wav", out_dir=tmp_path)
+    assert len(paths) >= 1
+    seg = AudioSeg.load(paths[0])
+    assert seg.lang == "EN"
+    words = seg.words()
+    assert words[0][2].lower().startswith("printing")
+    audio = seg.audio_chunk.load()
+    assert audio.sr > 0 and audio.duration > 1.0
+    # wav emitted next to the grid
+    assert (tmp_path / "0.wav").exists()
+
+
+@pytest.fixture(scope="module")
+def aligner_ckpt(tmp_path_factory):
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.scripts import train_aligner
+    from speechflow_tpu.training import ExperimentSaver
+
+    out = tmp_path_factory.mktemp("aligner")
+    cfg_dir = Path(__file__).parent.parent / "configs"
+    cfg = Config.create_from_file(cfg_dir / "aligner_model.yml", value_select=["debug"])
+    cfg.set_path("experiment.base_dir", str(out))
+    mpath = out / "aligner_model.yml"
+    cfg.to_file(mpath)
+    exp = train_aligner.main([
+        "-c", str(mpath), "-cd", str(cfg_dir / "tts_data_24khz.yml"), "-vs", "debug",
+        "--data_root", "/root/reference/examples/simple_datasets/speech/SEGS"])
+    return ExperimentSaver.get_last_checkpoint(exp)
+
+
+def test_aligner_emits_textgrid_stages(aligner_ckpt, tmp_path):
+    import shutil
+
+    from speechflow_tpu.annotator.align import Aligner, AlignStage
+    from speechflow_tpu.io import AudioSeg
+
+    # copy one seg + wav into tmp to annotate
+    src_dir = Path("/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000")
+    shutil.copy(src_dir / "0.TextGridStage3", tmp_path / "0.TextGrid")
+    shutil.copy(src_dir / "0.wav", tmp_path / "0.wav")
+
+    aligner = Aligner(aligner_ckpt)
+    out = aligner.align_seg(tmp_path / "0.TextGrid", AlignStage.stage1)
+    assert out.name == "0.TextGridStage1"
+    seg = AudioSeg.load(out)
+    phs = seg.phonemes()
+    assert len(phs) > 10
+    # timestamps are monotone and within the audio
+    ts = [iv[:2] for iv in phs]
+    assert all(ts[i][0] <= ts[i][1] for i in range(len(ts)))
+    assert ts[-1][1] <= seg.duration + 0.5
+
+    out3 = aligner.align_seg(tmp_path / "0.TextGrid", AlignStage.stage3)
+    seg3 = AudioSeg.load(out3)
+    assert "speech_begin" in seg3.meta
