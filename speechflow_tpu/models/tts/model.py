@@ -150,6 +150,11 @@ class ParallelTTSModel(nnx.Module):
                                       n_layers=p.decoder_layers, cond_dim=cond_dim,
                                       n_timesteps=p.cfm_n_timesteps,
                                       cfg_scale=p.cfm_cfg_scale, rngs=rngs)
+        elif p.decoder_type == "taco":
+            from speechflow_tpu.models.tts.ar_decoders import TacoDecoder
+
+            self.decoder = TacoDecoder(dim_in=va_dim, dim_out=p.n_mels,
+                                       dim=p.decoder_dim, rngs=rngs)
         else:
             self.decoder = TTS_DECODERS[p.decoder_type](
                 dim_in=va_dim, dim_out=p.n_mels, inner=p.decoder_inner,
@@ -220,6 +225,7 @@ class ParallelTTSModel(nnx.Module):
             out_lengths = inputs.mel_lengths
         x = self._cond(2, x, cond)
 
+        gate = None
         if isinstance(self.decoder, CFMDecoder):
             if training:
                 mu, cfm_losses = self.decoder.forward_train(
@@ -229,6 +235,16 @@ class ParallelTTSModel(nnx.Module):
             else:
                 mu, dec_out = self.decoder.generate(x, out_lengths, cond)
                 extra["cfm_prior"] = mu
+        elif p.decoder_type == "taco":
+            # attention-AR decoder over the (regulated) content as memory;
+            # the Tacotron2 family classically skips length regulation —
+            # configure variances=() to attend over encoder tokens directly
+            if training and inputs.mel is not None:
+                dec_out, gate, attn_t = self.decoder(
+                    x, out_lengths, inputs.mel, deterministic=False)
+                extra["taco_attention"] = attn_t
+            else:
+                dec_out, gate = self.decoder.generate(x, out_lengths, max_frames=t_out)
         else:
             dec_out = self.decoder(x, out_lengths, cond, deterministic=not training)
 
@@ -237,8 +253,7 @@ class ParallelTTSModel(nnx.Module):
         post = apply_mask(post, mask)
         spec = jnp.stack([dec_out, post])
 
-        gate = None
-        if p.use_gate:
+        if p.use_gate and gate is None:
             gate = self.gate_head(dec_out)[..., 0]
         if p.use_inverse_speaker_classifier:
             pooled = jnp.mean(grad_reverse(post), axis=1)

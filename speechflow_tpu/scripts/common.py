@@ -33,10 +33,17 @@ def train_arguments() -> argparse.ArgumentParser:
     p.add_argument("-w", "--warmstart", default=None)
     p.add_argument("--data_root", default=None)
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force the jax backend (the ambient sitecustomize "
+                        "overrides JAX_PLATFORMS, so an env var is not enough)")
     return p
 
 
 def config_prepare(args) -> tp.Tuple[Config, Config, ExperimentSaver]:
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     model_cfg = Config.create_from_file(args.model_config, value_select=args.value_select)
     data_cfg = Config.create_from_file(args.data_config, value_select=args.value_select)
     if args.data_root:
