@@ -195,3 +195,28 @@ COLLATES = {
     "ImageCollate": ImageCollate,
     "none": NoCollate,
 }
+
+
+class TTSCollateWithPrompt(TTSCollate):
+    """Pairs each sample with a same-speaker prompt from the batch
+    (reference: tts_collate.py:157 TTSCollateWithPrompt — neighbor samples
+    become prompt/target for prompt-conditioned models)."""
+
+    def __call__(self, samples):
+        out = super().__call__(samples)
+        # prompt index: another sample with the same speaker if present, else self
+        spk = [getattr(s, "speaker_id", None) for s in samples]
+        prompt_idx = []
+        for i, sid in enumerate(spk):
+            match = [j for j, sj in enumerate(spk) if sj == sid and j != i]
+            prompt_idx.append(match[0] if match else i)
+        idx = np.asarray(prompt_idx, np.int64)
+        out.additional["prompt_index"] = idx.astype(np.int32)
+        if out.mel is not None:
+            out.additional["prompt_mel"] = out.mel[idx]
+            out.additional["prompt_mel_lengths"] = out.mel_lengths[idx]
+        out.additional["prompt_transcription"] = out.transcription[idx]
+        return out
+
+
+COLLATES["TTSCollateWithPrompt"] = TTSCollateWithPrompt

@@ -182,6 +182,11 @@ class DataPipeline:
         return DataPipeline(self.cfg, self.ignored_fields, self.ignored_handlers | handlers)
 
     def init_components(self, datasets: tp.Optional[tp.Dict[str, Dataset]] = None) -> "DataPipeline":
+        from speechflow_tpu.data.core.singleton import Singleton
+
+        # singletons are per-process by design (reference meta.py); a fresh
+        # pipeline must not inherit another pipeline's dataset-level state
+        Singleton.clear()
         file_cfg = self.cfg.section("file_search")
         ds_cfg = self.cfg.section("dataset")
 
@@ -256,17 +261,23 @@ class DataPipeline:
         """Merge infos from multiple data servers (reference: components.py:510)."""
         if not infos:
             return {}
+        def fresh(name: str, state: dict):
+            # bypass the Singleton metaclass: aggregation needs two distinct
+            # instances of the same handler class
+            cls = SINGLETON_HANDLERS[name]
+            obj = cls.__new__(cls)
+            obj.__init__()
+            obj.load_state_dict(state)
+            return obj
+
         merged = dict(infos[0])
         for other in infos[1:]:
             for name, state in other.get("singletons", {}).items():
                 if name not in merged["singletons"]:
                     merged["singletons"][name] = state
                 else:
-                    inst = SINGLETON_HANDLERS[name]()
-                    inst.load_state_dict(merged["singletons"][name])
-                    o = SINGLETON_HANDLERS[name]()
-                    o.load_state_dict(state)
-                    inst.aggregate(o)
+                    inst = fresh(name, merged["singletons"][name])
+                    inst.aggregate(fresh(name, state))
                     merged["singletons"][name] = inst.state_dict()
             for s, n in other.get("dataset_sizes", {}).items():
                 merged["dataset_sizes"][s] = merged["dataset_sizes"].get(s, 0) + n

@@ -112,12 +112,23 @@ class AudioDSParser(BaseDSParser):
     def reader(self, path):
         return [{"path": str(path)}]
 
+    @staticmethod
+    def speaker_from_path(p: Path) -> str:
+        """First ancestor dir that isn't a numeric chunk / generic name
+        (datasets shard utterances into 000/001/... and wavs/ subdirs)."""
+        for parent in p.parents:
+            name = parent.name
+            if name and not name.isdigit() and name.lower() not in ("wavs", "wav", "audio"):
+                return name
+        return p.parent.name
+
     def to_datasample(self, md: Metadata) -> AudioDataSample:
         p = Path(md["path"])
+        speaker = self.speaker_from_path(p)
         return AudioDataSample(
             file_path=str(p),
-            label=p.parent.name,
-            speaker_name=p.parent.name,
+            label=speaker,
+            speaker_name=speaker,
             audio_chunk=AudioChunk(file_path=p),
         )
 

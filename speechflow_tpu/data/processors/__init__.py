@@ -28,7 +28,9 @@ def handler(inputs: tp.Optional[set] = None, outputs: tp.Optional[set] = None,
 
 def get_handler(name: str) -> tp.Callable:
     # import handler modules lazily so registration happens on first lookup
-    from speechflow_tpu.data.processors import audio, spectral, text, tts, augment  # noqa: F401
+    from speechflow_tpu.data.processors import (  # noqa: F401
+        audio, spectral, text, tts, augment, embeddings,
+    )
 
     if name not in HANDLERS:
         raise KeyError(f"unknown handler '{name}'; known: {sorted(HANDLERS)}")

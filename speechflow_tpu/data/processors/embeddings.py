@@ -1,0 +1,134 @@
+"""Model-based feature handlers: speaker embeddings, SSL features, speech
+quality, neural-codec features.
+
+Capability parity with the reference processors
+(biometric_processors.py:33 VoiceBiometricProcessor, audio_processors.py:334
+SSLProcessor, speech_quality.py:26 SpeechQualityAssessment, audio_processors
+.py:378 ACProcessor). The reference downloads pretrained torch models
+(speechbrain/HF/NISQA/DAC); this environment has no egress, so each handler
+has (a) an injectable model hook (HF Flax weights when locally available,
+or a framework-trained checkpoint, e.g. the ECAPA embedder from
+examples/biometric), and (b) a deterministic lightweight fallback so
+pipelines relying on these *fields* run end-to-end.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from speechflow_tpu.data.core.datasample import AudioDataSample, SpectrogramDataSample
+from speechflow_tpu.data.processors import handler
+from speechflow_tpu.data.processors import np_dsp
+
+__all__ = ["set_biometric_model", "set_ssl_model", "set_quality_model", "set_codec_model"]
+
+_MODELS: tp.Dict[str, tp.Callable] = {}
+
+
+def set_biometric_model(fn: tp.Callable[[np.ndarray, int], np.ndarray]) -> None:
+    """fn(waveform, sr) -> (emb_dim,) embedding."""
+    _MODELS["biometric"] = fn
+
+
+def set_ssl_model(fn: tp.Callable[[np.ndarray, int], np.ndarray]) -> None:
+    """fn(waveform, sr) -> (T', D) features."""
+    _MODELS["ssl"] = fn
+
+
+def set_quality_model(fn: tp.Callable[[np.ndarray, int], np.ndarray]) -> None:
+    """fn(waveform, sr) -> (5,) NISQA-style MOS dimensions."""
+    _MODELS["quality"] = fn
+
+
+def set_codec_model(encode: tp.Callable[[np.ndarray, int], np.ndarray]) -> None:
+    """encode(waveform, sr) -> (T', n_q) int codes or (T', D) latents."""
+    _MODELS["codec"] = encode
+
+
+def _fallback_embedding(wav: np.ndarray, sr: int, dim: int = 192) -> np.ndarray:
+    """Deterministic spectral-statistics embedding (stands in for a speaker
+    model so multi-speaker pipelines run without pretrained weights)."""
+    mag = np_dsp.magnitude_np(wav, 1024, 256)
+    mel = np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, sr, 64))
+    stats = np.concatenate([mel.mean(0), mel.std(0), np.quantile(mel, 0.9, 0)])
+    rng = np.random.default_rng(12345)  # fixed projection
+    proj = rng.normal(size=(len(stats), dim)).astype(np.float32) / np.sqrt(len(stats))
+    emb = stats.astype(np.float32) @ proj
+    return emb / max(np.linalg.norm(emb), 1e-9)
+
+
+@handler(inputs={"audio_chunk"}, outputs={"speaker_emb"})
+def voice_biometrics(ds: AudioDataSample, emb_dim: int = 192) -> AudioDataSample:
+    wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
+    fn = _MODELS.get("biometric")
+    ds.speaker_emb = (fn(wav, sr) if fn else
+                      _fallback_embedding(wav, sr, emb_dim)).astype(np.float32)
+    return ds
+
+
+@handler(inputs={"audio_chunk"}, outputs={"ssl_feat"})
+def ssl_features(ds: AudioDataSample, hop_len: int = 256, dim: int = 256) -> AudioDataSample:
+    wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
+    fn = _MODELS.get("ssl")
+    if fn is not None:
+        ds.ssl_feat = np.asarray(fn(wav, sr), np.float32)
+    else:
+        # fallback: framed log-mel context features at the ssl frame rate
+        mag = np_dsp.magnitude_np(wav, 1024, hop_len)
+        mel = np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, sr, min(dim, 128)))
+        ds.ssl_feat = mel.astype(np.float32)
+    return ds
+
+
+@handler(inputs={"audio_chunk"}, outputs={"speech_quality_emb"})
+def speech_quality(ds: AudioDataSample) -> AudioDataSample:
+    wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
+    fn = _MODELS.get("quality")
+    if fn is not None:
+        ds.speech_quality_emb = np.asarray(fn(wav, sr), np.float32)
+    else:
+        # crude signal statistics standing in for NISQA's 5 MOS dimensions
+        rms = float(np.sqrt(np.mean(wav**2) + 1e-12))
+        mag = np_dsp.magnitude_np(wav, 1024, 256)
+        flat = float(np_dsp.spectral_flatness_np(mag).mean())
+        peak = float(np.abs(wav).max())
+        clip_frac = float(np.mean(np.abs(wav) > 0.98))
+        ds.speech_quality_emb = np.asarray(
+            [rms, flat, peak, clip_frac, 1.0 - clip_frac], np.float32)
+    return ds
+
+
+@handler(inputs={"audio_chunk"}, outputs={"ac_feat"})
+def codec_features(ds: AudioDataSample, hop_len: int = 512) -> AudioDataSample:
+    wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
+    fn = _MODELS.get("codec")
+    if fn is not None:
+        ds.ac_feat = np.asarray(fn(wav, sr))
+    else:
+        mag = np_dsp.magnitude_np(wav, 1024, hop_len)
+        ds.ac_feat = np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, sr, 64))
+    return ds
+
+
+def make_hf_wav2vec2_hook(model_name: str = "facebook/wav2vec2-base",
+                          layer: int = -1) -> tp.Callable:
+    """HF Flax wav2vec2 feature hook (requires locally cached weights)."""
+    from transformers import AutoFeatureExtractor, FlaxWav2Vec2Model
+
+    fe = AutoFeatureExtractor.from_pretrained(model_name)
+    model = FlaxWav2Vec2Model.from_pretrained(model_name)
+
+    def fn(wav: np.ndarray, sr: int) -> np.ndarray:
+        from scipy.signal import resample_poly
+        import math
+
+        if sr != 16000:
+            g = math.gcd(16000, sr)
+            wav = resample_poly(wav, 16000 // g, sr // g)
+        inputs = fe(wav, sampling_rate=16000, return_tensors="np")
+        out = model(**inputs, output_hidden_states=True)
+        return np.asarray(out.hidden_states[layer][0])
+
+    return fn

@@ -195,3 +195,54 @@ SAMPLERS = {
     "WeightedSampler": WeightedSampler,
     "FillingSampler": FillingSampler,
 }
+
+
+class TripletSampler(BaseSampler):
+    """Anchor/positive/negative batches for metric learning
+    (reference: tests/test_triplet_sampler.py pattern; examples/biometric):
+    each draw returns batch_size triplets flattened as [anchors, positives,
+    negatives] with positives sharing the anchor's label field."""
+
+    def __init__(self, field: str = "speaker_name", seed: int = 0):
+        super().__init__()
+        self.field = field
+        self.seed = seed
+        self._by_label: tp.Dict[tp.Any, tp.List[int]] = {}
+        self._drawn = 0
+
+    def set_dataset(self, dataset: Dataset) -> "TripletSampler":
+        self.dataset = dataset
+        self._by_label = {}
+        for i in range(len(dataset)):
+            lab = getattr(dataset[i], self.field, None)
+            self._by_label.setdefault(lab, []).append(i)
+        self._labels = [l for l, idxs in self._by_label.items() if len(idxs) >= 2]
+        assert len(self._labels) >= 2, "triplet sampling needs >=2 labels with >=2 samples"
+        self.reset()
+        return self
+
+    def reset(self) -> None:
+        self._drawn = 0
+        self.epoch += 1
+
+    def sampling(self, batch_size: int) -> tp.Tuple[list, bool]:
+        rng = np.random.default_rng(self.seed + self.epoch * 31337 + self._drawn)
+        anchors, positives, negatives = [], [], []
+        for _ in range(batch_size):
+            lab = self._labels[int(rng.integers(0, len(self._labels)))]
+            a, p = rng.choice(self._by_label[lab], size=2, replace=False)
+            other = lab
+            while other == lab:
+                other = list(self._by_label)[int(rng.integers(0, len(self._by_label)))]
+            n = int(rng.choice(self._by_label[other]))
+            anchors.append(self.dataset[int(a)])
+            positives.append(self.dataset[int(p)])
+            negatives.append(self.dataset[n])
+        self._drawn += batch_size
+        is_last = self._drawn >= len(self.dataset)
+        if is_last:
+            self.reset()
+        return anchors + positives + negatives, is_last
+
+
+SAMPLERS["TripletSampler"] = TripletSampler

@@ -1,7 +1,8 @@
 from speechflow_tpu.server.server import DataServer
 from speechflow_tpu.server.worker import BatchWorker, WorkerPool
 from speechflow_tpu.server.loader import DataLoader
+from speechflow_tpu.server.proxy import Proxy
 from speechflow_tpu.server.helpers import init_data_loader, get_dataset_iterator, LoaderBundle
 
-__all__ = ["DataServer", "BatchWorker", "WorkerPool", "DataLoader",
+__all__ = ["DataServer", "BatchWorker", "WorkerPool", "DataLoader", "Proxy",
            "init_data_loader", "get_dataset_iterator", "LoaderBundle"]

@@ -53,8 +53,9 @@ class DataLoader:
         self.uid = uuid.uuid4().hex
 
         self._queue: deque = deque()
-        self._outstanding = 0
-        self._reorder: tp.Dict[int, tp.Optional[Batch]] = {}  # seq -> batch (None = failed)
+        self._outstanding: set = set()          # outstanding request ids
+        self._req_counter = 0
+        self._reorder: tp.Dict[int, tp.Optional[Batch]] = {}  # req -> batch (None = failed)
         self._next_seq = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -93,16 +94,23 @@ class DataLoader:
 
     # -- background IO -----------------------------------------------------------
 
+    def _send_request(self, req: int) -> None:
+        self._socket.send(pickle.dumps({
+            "type": "get_batch", "subset": self.subset,
+            "batch_size": self.batch_size, "uid": self.uid, "req": req}))
+
     def _request_more(self) -> None:
         # keep (prefetch_factor - queued) requests outstanding; called from the
         # receive loop both on replies and on idle ticks so consumption always
         # re-triggers prefetching (a receive-path-only trigger deadlocks once
-        # the queue fills and then drains)
-        while self._outstanding + len(self._queue) < self.prefetch_factor:
-            self._socket.send(pickle.dumps({
-                "type": "get_batch", "subset": self.subset,
-                "batch_size": self.batch_size, "uid": self.uid}))
-            self._outstanding += 1
+        # the queue fills and then drains). Request ids are loader-assigned and
+        # echoed by the server, so replies reorder exactly and rejected
+        # requests retry under the same id (no sequence gaps).
+        while len(self._outstanding) + len(self._queue) < self.prefetch_factor:
+            req = self._req_counter
+            self._req_counter += 1
+            self._outstanding.add(req)
+            self._send_request(req)
 
     def _loop(self) -> None:
         self._request_more()
@@ -118,27 +126,30 @@ class DataLoader:
             msg = pickle.loads(self._socket.recv())
             mtype = msg.get("type")
             self._last_recv = time.time()
+            req = msg.get("req")
             if mtype == "batch":
-                self._outstanding = max(0, self._outstanding - 1)
+                self._outstanding.discard(req)
                 batch: Batch = Serialize.load(msg["batch_blob"])
-                self._enqueue_ordered(msg.get("seq"), batch)
+                self._enqueue_ordered(req, batch)
             elif mtype == "batch_failed":
-                self._outstanding = max(0, self._outstanding - 1)
-                self._enqueue_ordered(msg.get("seq"), None)
+                self._outstanding.discard(req)
+                self._enqueue_ordered(req, None)
             elif mtype == "reject":
-                self._outstanding = max(0, self._outstanding - 1)
+                # backpressure: retry the SAME request id so ordering never gaps
                 time.sleep(0.05)
+                if req in self._outstanding:
+                    self._send_request(req)
             self._request_more()
 
-    def _enqueue_ordered(self, seq: tp.Optional[int], batch: tp.Optional[Batch]) -> None:
-        """Workers finish out of order; release batches strictly by sequence so
-        the epoch boundary (is_last) is seen in sampling order."""
-        if seq is None:  # server without seq support: best-effort order
+    def _enqueue_ordered(self, req: tp.Optional[int], batch: tp.Optional[Batch]) -> None:
+        """Workers finish out of order; release batches strictly in request
+        order so the epoch boundary (is_last) is seen in sampling order."""
+        if req is None:
             if batch is not None:
                 with self._lock:
                     self._queue.append(batch)
             return
-        self._reorder[seq] = batch
+        self._reorder[req] = batch
         with self._lock:
             while self._next_seq in self._reorder:
                 b = self._reorder.pop(self._next_seq)

@@ -79,9 +79,6 @@ class DataServer(ProcessWorker):
         self.inflight: tp.Dict[str, dict] = {}
         self.known_workers: tp.Set[bytes] = set()
         self.samplers: tp.Dict[tp.Tuple[str, str], tp.Any] = {}
-        # per-(loader, subset) sequence counter: workers may finish out of
-        # order, the loader reorders by seq so epoch boundaries stay exact
-        self.seq: tp.Dict[tp.Tuple[bytes, str], int] = {}
 
     def _sampler_for(self, subset: str, loader_uid: str):
         key = (subset, loader_uid if self.synchronize_loaders else "__shared__")
@@ -114,15 +111,14 @@ class DataServer(ProcessWorker):
         elif mtype == "get_batch":
             cap = self.inflight_factor * max(len(self.known_workers), self.n_workers_hint)
             if len(self.tasks) + len(self.inflight) >= cap:
-                self.frontend.send_multipart([ident, pickle.dumps({"type": "reject"})])
+                self.frontend.send_multipart([ident, pickle.dumps(
+                    {"type": "reject", "req": msg.get("req"),
+                     "uid": msg.get("uid", ""), "subset": msg.get("subset", "")})])
                 return
             subset = msg["subset"]
             sampler = self._sampler_for(subset, msg.get("uid", ""))
             samples, is_last = sampler.sampling(msg["batch_size"])
             task_id = uuid.uuid4().hex
-            seq_key = (ident, subset)
-            seq = self.seq.get(seq_key, 0)
-            self.seq[seq_key] = seq + 1
             task = {
                 "type": "task",
                 "task_id": task_id,
@@ -130,7 +126,10 @@ class DataServer(ProcessWorker):
                 "is_last": is_last,
                 "samples_blob": Serialize.dump([s for s in samples]),
             }
-            self.inflight[task_id] = {"loader": ident, "subset": subset, "seq": seq}
+            # req = loader-assigned request id echoed in every reply; the
+            # loader reorders by it (workers finish out of order)
+            self.inflight[task_id] = {"loader": ident, "subset": subset,
+                                      "req": msg.get("req"), "uid": msg.get("uid", "")}
             self.tasks.append(task)
         elif mtype == "abort":
             # drop queued tasks destined for this loader (ident = ZMQ identity)
@@ -164,7 +163,8 @@ class DataServer(ProcessWorker):
                 self.frontend.send_multipart([meta["loader"], pickle.dumps({
                     "type": "batch",
                     "subset": meta["subset"],
-                    "seq": meta["seq"],
+                    "req": meta["req"],
+                    "uid": meta["uid"],
                     "batch_blob": msg["batch_blob"],
                 })])
             # the worker re-announces "ready" itself after each task
@@ -174,7 +174,7 @@ class DataServer(ProcessWorker):
             if meta is not None:
                 self.frontend.send_multipart([meta["loader"], pickle.dumps({
                     "type": "batch_failed", "subset": meta["subset"],
-                    "seq": meta["seq"]})])
+                    "req": meta["req"], "uid": meta["uid"]})])
 
     def _dispatch(self) -> None:
         while self.tasks and self.idle_workers:

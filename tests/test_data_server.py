@@ -69,3 +69,69 @@ def test_data_server_with_real_features(mini_dataset_path):
         assert (c.durations.sum(1) == c.mel_lengths).all()
     finally:
         bundle.shutdown()
+
+
+def test_proxy_fans_in_two_servers():
+    """Two servers with disjoint datasets behind a Proxy; the loader sees
+    merged info and batches from both (reference multi-server fan-in)."""
+    import pickle
+
+    from speechflow_tpu.server.helpers import find_free_port
+    from speechflow_tpu.server.proxy import Proxy
+    from speechflow_tpu.server.server import DataServer
+    from speechflow_tpu.server.worker import WorkerPool
+    from speechflow_tpu.server.loader import DataLoader
+
+    def make_payload(label_prefix, speakers):
+        cfg = Config({
+            "dataset": {"subsets": ["train"]},
+            "sampler": {"train": {"type": "SimpleSampler"}},
+            "preproc": {"pipe": []},
+            "singleton_handlers": ["SpeakerIDSetter"],
+        })
+        dp = DataPipeline(cfg)
+        samples = []
+        for i in range(12):
+            s = DataSample(label=f"{label_prefix}{i}", index=i)
+            s.speaker_name = speakers[i % len(speakers)]
+            samples.append(s)
+        dp.init_components(datasets={"train": Dataset(samples)})
+        return pickle.dumps({"info": dp.get_info(),
+                             "datasets": {"train": dp["train"].dataset}}, protocol=5)
+
+    servers, pools = [], []
+    backend_fronts = []
+    try:
+        for prefix, spk in (("a", ["spk_a"]), ("b", ["spk_b"])):
+            front = f"tcp://127.0.0.1:{find_free_port()}"
+            back = f"tcp://127.0.0.1:{find_free_port()}"
+            srv = DataServer(front, back, make_payload(prefix, spk), n_workers_hint=1)
+            srv.start(300)
+            pool = WorkerPool(back, 1)
+            pool.start(300)
+            servers.append(srv)
+            pools.append(pool)
+            backend_fronts.append(front)
+
+        proxy_front = f"tcp://127.0.0.1:{find_free_port()}"
+        proxy = Proxy(proxy_front, backend_fronts)
+        proxy.start(300)
+        try:
+            loader = DataLoader(proxy_front, "train", 4, prefetch_factor=4).start()
+            # merged info: both speakers present
+            spk = loader.info["singletons"]["SpeakerIDSetter"]["speaker2id"]
+            assert set(spk) == {"spk_a", "spk_b"}
+            labels = set()
+            for _ in range(6):
+                batch = loader.next_batch(timeout=60)
+                labels |= {s.label for s in batch.data_samples}
+            assert any(l.startswith("a") for l in labels)
+            assert any(l.startswith("b") for l in labels)
+            loader.stop()
+        finally:
+            proxy.stop()
+    finally:
+        for p in pools:
+            p.stop()
+        for s in servers:
+            s.stop()
