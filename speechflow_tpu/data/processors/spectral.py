@@ -92,3 +92,43 @@ def pitch(ds: SpectrogramDataSample, f0_min: float = 80.0, f0_max: float = 880.0
 
 # alias matching reference naming
 MIN_LEVEL_DB = np_dsp.MIN_LEVEL_DB
+
+
+@handler(inputs={"magnitude"}, outputs={"spectral_tilt"})
+def spectral_tilt(ds: SpectrogramDataSample) -> SpectrogramDataSample:
+    """Per-frame spectral slope via least squares over dB-rescaled bins
+    (reference: spectrogram_processors.py:273, Owren's method corrected)."""
+    mag = np.maximum(ds.magnitude.astype(np.float64), 1e-8)
+    n_bins = mag.shape[-1]
+    db = 20.0 * np.log10(mag / 0.0002)
+    mn, mx = db.min(axis=-1, keepdims=True), db.max(axis=-1, keepdims=True)
+    scaled = (db - mn) * ((n_bins - 1) / np.maximum(mx - mn, 1e-6))
+    x = np.arange(n_bins)
+    xc = x - x.mean()
+    slope = (scaled @ xc) / (xc @ xc)
+    ds.additional["spectral_tilt"] = (slope.max() - slope).astype(np.float32)
+    return ds
+
+
+@handler(inputs={"magnitude"}, outputs={"spectral_envelope"})
+def spectral_envelope(ds: SpectrogramDataSample, cutoff: int = 3,
+                      n_bins: int = 80) -> SpectrogramDataSample:
+    """Cepstral-liftered spectral envelope, [0,1]-normalized and resampled
+    (reference: spectrogram_processors.py:314)."""
+    from scipy import signal as _sig
+
+    d = ds.magnitude.astype(np.float64)
+    ceps = np.fft.irfft(np.log(d + 1e-6), axis=-1).real
+    lifter = np.zeros(ceps.shape[-1])
+    lifter[:cutoff] = 1.0
+    if cutoff < len(lifter):
+        lifter[cutoff] = 0.5
+    env = np.abs(np.exp(np.fft.rfft(ceps * lifter, axis=-1)))
+    min_level = np.exp(-100 / 20 * np.log(10))
+    env = 20 * np.log10(np.maximum(min_level, env)) - 16
+    env = (env + 100) / 100
+    env = env - env.min()
+    env = env / max(env.max(), 1e-9)
+    env = np.clip(_sig.resample(env, n_bins, axis=-1), 0.0, 1.0)  # Fourier resample overshoots
+    ds.additional["spectral_envelope"] = env.astype(np.float32)
+    return ds
