@@ -29,7 +29,7 @@ from flax import nnx
 from speechflow_tpu.models.tts.common import rope_rotate
 from speechflow_tpu.utils.masks import sequence_mask
 
-__all__ = ["TacoDecoder", "GPTDecoder"]
+__all__ = ["TacoDecoder", "GPTDecoder", "RetentionBlock"]
 
 
 class LSAttention(nnx.Module):
@@ -171,11 +171,13 @@ class GPTDecoder(nnx.Module):
 
     def __init__(self, n_text_tokens: int = 256, n_audio_tokens: int = 1026,
                  dim: int = 512, n_layers: int = 8, n_heads: int = 8,
-                 cond_dim: tp.Optional[int] = None, rngs: nnx.Rngs = None, **kw):
+                 cond_dim: tp.Optional[int] = None, block_type: str = "attention",
+                 rngs: nnx.Rngs = None, **kw):
         rngs = rngs or nnx.Rngs(0)
         self.text_emb = nnx.Embed(n_text_tokens, dim, rngs=rngs)
         self.audio_emb = nnx.Embed(n_audio_tokens, dim, rngs=rngs)
-        self.blocks = nnx.List([CausalBlock(dim, n_heads, rngs) for _ in range(n_layers)])
+        block = RetentionBlock if block_type == "retention" else CausalBlock
+        self.blocks = nnx.List([block(dim, n_heads, rngs) for _ in range(n_layers)])
         self.norm = nnx.LayerNorm(dim, rngs=rngs)
         self.head = nnx.Linear(dim, n_audio_tokens, rngs=rngs)
         self.cond_proj = nnx.Linear(cond_dim, dim, rngs=rngs) if cond_dim else None
@@ -238,3 +240,45 @@ class GPTDecoder(nnx.Module):
 
         (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(max_tokens))
         return tokens
+
+
+class RetentionBlock(nnx.Module):
+    """Multi-scale retention block (RetNet; reference: common/gpts/retentive.py
+    option for the XTTS decoder). Parallel form: out_h = (Q K^T ⊙ D_h) V with
+    decay D_h[n, m] = γ_h^(n-m) for n >= m — causal by construction, O(T²)
+    training like attention but with recurrent O(1) inference available."""
+
+    def __init__(self, dim: int, n_heads: int, rngs: nnx.Rngs):
+        self.n_heads = n_heads
+        self.head_dim = dim // n_heads
+        self.q = nnx.Linear(dim, dim, rngs=rngs)
+        self.k = nnx.Linear(dim, dim, rngs=rngs)
+        self.v = nnx.Linear(dim, dim, rngs=rngs)
+        self.g = nnx.Linear(dim, dim, rngs=rngs)
+        self.out = nnx.Linear(dim, dim, rngs=rngs)
+        self.norm = nnx.LayerNorm(dim, rngs=rngs)
+        self.gnorm = nnx.GroupNorm(dim, num_groups=n_heads, rngs=rngs)
+        self.ff1 = nnx.Linear(dim, 4 * dim, rngs=rngs)
+        self.ff2 = nnx.Linear(4 * dim, dim, rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        # per-head decay gammas (RetNet: 1 - 2^(-5-h))
+        self.gammas = tuple(1.0 - 2.0 ** (-5.0 - h) for h in range(n_heads))
+
+    def __call__(self, x, mask=None):
+        b, t, d = x.shape
+        h = self.norm(x)
+        q = rope_rotate(self.q(h)).reshape(b, t, self.n_heads, self.head_dim)
+        k = rope_rotate(self.k(h)).reshape(b, t, self.n_heads, self.head_dim)
+        v = self.v(h).reshape(b, t, self.n_heads, self.head_dim)
+        n = jnp.arange(t)
+        rel = n[:, None] - n[None, :]  # n - m
+        outs = []
+        for head, gamma in enumerate(self.gammas):
+            decay = jnp.where(rel >= 0, gamma ** rel.astype(jnp.float32), 0.0)
+            scores = jnp.einsum("btd,bsd->bts", q[:, :, head], k[:, :, head])
+            scores = scores * decay[None] / np.sqrt(self.head_dim)
+            outs.append(jnp.einsum("bts,bsd->btd", scores, v[:, :, head]))
+        o = jnp.stack(outs, axis=2).reshape(b, t, d)
+        o = self.gnorm(o) * jax.nn.silu(self.g(h))
+        x = x + self.out(o)
+        return x + self.ff2(nnx.gelu(self.ff1(self.norm2(x))))

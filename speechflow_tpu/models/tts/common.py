@@ -259,7 +259,9 @@ class VectorQuantizer(nnx.Module):
     def __init__(self, codebook_size: int = 256, dim: int = 256,
                  beta: float = 0.25, rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
-        init = nnx.initializers.uniform(scale=1.0 / codebook_size)
+        # unit-scale init matches normalized encoder latents (tiny uniform init
+        # makes initial distances huge and the codebook loss explode)
+        init = nnx.initializers.normal(stddev=1.0)
         self.codebook = nnx.Param(init(rngs.params(), (codebook_size, dim)))
         self.beta = beta
 
