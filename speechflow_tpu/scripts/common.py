@@ -11,6 +11,7 @@ analogue of the reference's update_model_config <- DataClient.find_info.
 from __future__ import annotations
 
 import argparse
+import logging
 import typing as tp
 from pathlib import Path
 
@@ -21,7 +22,10 @@ from speechflow_tpu.training import ExperimentSaver
 from speechflow_tpu.training.optimizer import OptimizerConfig
 from speechflow_tpu.training.trainer import TrainerConfig
 
-__all__ = ["train_arguments", "config_prepare", "build_data", "model_config_from_info"]
+LOGGER = logging.getLogger("speechflow_tpu")
+
+__all__ = ["train_arguments", "config_prepare", "build_data", "model_config_from_info",
+           "apply_resume_warmstart"]
 
 
 def train_arguments() -> argparse.ArgumentParser:
@@ -50,6 +54,11 @@ def config_prepare(args) -> tp.Tuple[Config, Config, ExperimentSaver]:
         data_cfg.set_path("dirs.data_root", args.data_root)
     if args.max_steps:
         model_cfg.set_path("trainer.max_steps", args.max_steps)
+
+    if getattr(args, "resume_from", None):
+        model_cfg.set_path("resume.from", args.resume_from)
+    if getattr(args, "warmstart", None):
+        model_cfg.set_path("warmstart.ckpt", args.warmstart)
 
     exp = model_cfg.section("experiment")
     saver = ExperimentSaver(exp.get("base_dir", "experiments"),
@@ -94,3 +103,47 @@ def trainer_config(model_cfg: Config) -> TrainerConfig:
 
 def optimizer_config(model_cfg: Config) -> OptimizerConfig:
     return OptimizerConfig.from_config(model_cfg.section("optimizer").to_dict())
+
+
+def apply_resume_warmstart(trainer, model_cfg: Config) -> None:
+    """Resume / finetune / warmstart wiring (reference: config_prepare.py:46-56,
+    179-206 + finetuning.py:18,66):
+
+    - ``resume.from`` (set from the -r CLI flag): load the experiment's last
+      checkpoint — weights, optimizer state and global step.
+    - ``finetune.ckpt``: load model weights only (fresh optimizer/step).
+    - ``warmstart.ckpt`` (+ include/exclude prefix lists): load a filtered
+      subset of weights into the freshly initialized model.
+    """
+    import jax
+    from flax import nnx
+
+    from speechflow_tpu.training.saver import ExperimentSaver
+
+    resume_from = model_cfg.get_path("resume.from")
+    if resume_from:
+        ckpt = ExperimentSaver.get_last_checkpoint(resume_from)
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint under {resume_from}")
+        trainer.load_checkpoint(ckpt)
+        LOGGER.info("resumed from %s at step %d", ckpt, trainer.global_step)
+        return
+
+    ft = model_cfg.get_path("finetune.ckpt")
+    ws = model_cfg.get_path("warmstart.ckpt")
+    if not ft and not ws:
+        return
+    tree, _ = ExperimentSaver.load_checkpoint(ft or ws)
+    source = tree["model"]
+    if ws:
+        source = ExperimentSaver.filter_state_by_prefix(
+            source,
+            include=model_cfg.get_path("warmstart.include", []) or [],
+            exclude=model_cfg.get_path("warmstart.exclude", []) or [],
+        )
+    state = nnx.state(trainer.model, nnx.Not(nnx.RngState))
+    current = nnx.to_pure_dict(state)
+    merged = ExperimentSaver.merge_states(current, source)
+    nnx.replace_by_pure_dict(state, merged)
+    nnx.update(trainer.model, state)
+    LOGGER.info("%s weights loaded from %s", "warmstart" if ws else "finetune", ft or ws)

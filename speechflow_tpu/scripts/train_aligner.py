@@ -24,6 +24,7 @@ from speechflow_tpu.models.aligner import (
     GlowTTSParams,
 )
 from speechflow_tpu.scripts.common import (
+    apply_resume_warmstart,
     build_data,
     config_prepare,
     model_config_from_info,
@@ -51,6 +52,7 @@ def train(model_cfg, data_cfg, saver) -> str:
         trainer = Trainer(model, criterion, AlignerBatchProcessor(),
                           optimizer_config(model_cfg), trainer_config(model_cfg),
                           saver=saver, tb_dir=saver.expr_path / "tb")
+        apply_resume_warmstart(trainer, model_cfg)
         last = trainer.fit(bundle["train"])
         LOGGER.info("aligner training done: %s", last)
         return str(saver.expr_path)

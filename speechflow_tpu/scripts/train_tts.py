@@ -25,6 +25,7 @@ from speechflow_tpu.models.tts import (
     TTSCriterion,
 )
 from speechflow_tpu.scripts.common import (
+    apply_resume_warmstart,
     build_data,
     config_prepare,
     model_config_from_info,
@@ -56,6 +57,7 @@ def train(model_cfg, data_cfg, saver) -> str:
             optimizer_config(model_cfg), trainer_config(model_cfg),
             saver=saver, tb_dir=saver.expr_path / "tb",
         )
+        apply_resume_warmstart(trainer, model_cfg)
         last = trainer.fit(bundle["train"],
                            bundle.loaders.get("test"))
         LOGGER.info("training done: %s", last)

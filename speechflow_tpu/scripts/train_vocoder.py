@@ -72,6 +72,15 @@ def train(model_cfg, data_cfg, saver) -> str:
             disc_start_iter=int(model_cfg.get_path("gan.disc_start_iter", 0)),
             tb_dir=saver.expr_path / "tb",
         )
+        resume_from = model_cfg.get_path("resume.from")
+        if resume_from:
+            from speechflow_tpu.training import ExperimentSaver
+
+            ckpt = ExperimentSaver.get_last_checkpoint(resume_from)
+            if ckpt is None:
+                raise FileNotFoundError(f"no checkpoint under {resume_from}")
+            gan.load_checkpoint(ckpt)
+            LOGGER.info("resumed GAN from %s at step %d", ckpt, gan.global_step)
         last = gan.fit(bundle["train"])
         LOGGER.info("vocoder training done: %s", last)
         return str(saver.expr_path)
