@@ -191,6 +191,25 @@ class DataLoader:
         for _ in range(n):
             yield iter(self)
 
+    def test_connection(self, duration_s: float = 10.0) -> dict:
+        """Throughput self-benchmark (reference: loader.py:368-393): pulls
+        batches for ``duration_s`` and reports batches/s, samples/s and
+        MB/batch of the serialized payload."""
+        t0 = time.time()
+        n_batches = n_samples = total_bytes = 0
+        while time.time() - t0 < duration_s:
+            batch = self.next_batch(timeout=max(duration_s, 30.0))
+            n_batches += 1
+            n_samples += batch.size
+            total_bytes += Serialize.size(batch)
+        elapsed = max(time.time() - t0, 1e-6)
+        return {
+            "batches_per_s": n_batches / elapsed,
+            "samples_per_s": n_samples / elapsed,
+            "mb_per_batch": (total_bytes / max(n_batches, 1)) / 1e6,
+            "n_batches": n_batches,
+        }
+
     # -- device placement -----------------------------------------------------------
 
     def device_iterator(self, put_fn: tp.Optional[tp.Callable] = None,
