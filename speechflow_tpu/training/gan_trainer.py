@@ -57,6 +57,9 @@ class GANTrainer:
         self.disc_start_iter = disc_start_iter
         self.saver = saver
         self.global_step = 0
+        from speechflow_tpu.parallel.mesh import make_mesh
+
+        self.mesh = make_mesh() if self.cfg.use_mesh else None
 
         g_cfg = gen_optimizer or OptimizerConfig(method="adamw", lr=2e-4)
         d_cfg = disc_optimizer or OptimizerConfig(method="adamw", lr=2e-4)
@@ -93,11 +96,17 @@ class GANTrainer:
         self._gen_step = _gen_step
         self._disc_step = _disc_step
 
+    def _place(self, tree):
+        if self.mesh is not None:
+            from speechflow_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(tree, self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
     def training_step(self, batch) -> tp.Dict[str, float]:
         inputs, targets = self.batch_processor(batch)
-        to_dev = lambda t: jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, t)
-        inputs, targets = to_dev(inputs), to_dev(targets)
+        inputs, targets = self._place(inputs), self._place(targets)
         step = jnp.asarray(self.global_step, jnp.int32)
 
         g_total, g_losses, gen_out = self._gen_step(

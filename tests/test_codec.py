@@ -98,3 +98,58 @@ def test_codec_feeds_gpt(rng):
     loss = gpt.loss(text, codes.astype(jnp.int32),
                     jnp.full((2,), codes.shape[1], jnp.int32))
     assert np.isfinite(float(loss))
+
+
+def test_xtts_model_end_to_end(rng):
+    """Text -> GPT-over-codes -> codec decode; training loss decreases."""
+    import optax
+
+    from speechflow_tpu.models.tts.xtts import XTTSModel, XTTSParams
+
+    p = XTTSParams.create(
+        n_symbols=16, n_speakers=2, dim=48, n_layers=1, n_heads=2,
+        codec={"channels": 12, "latent_dim": 16, "strides": (4, 4, 8),
+               "n_quantizers": 1, "codebook_size": 32})
+    model = XTTSModel(p, rngs=nnx.Rngs(0))
+    batch = {
+        "waveform": jnp.asarray(_tone_batch(rng)),
+        "transcription": jnp.asarray(rng.integers(0, 16, (2, 6)), jnp.int32),
+        "speaker_id": jnp.asarray([0, 1], jnp.int32),
+    }
+    opt = nnx.Optimizer(model, optax.adam(2e-3), wrt=nnx.Param)
+
+    @nnx.jit
+    def step(model, opt):
+        def loss_fn(m):
+            losses = m(batch)
+            return losses["gpt_ce"], losses
+
+        (loss, _), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+        opt.update(model, grads)
+        return loss
+
+    first = float(step(model, opt))
+    for _ in range(40):
+        last = float(step(model, opt))
+    assert last < first, (first, last)
+
+    wav = model.synthesize(batch["transcription"], batch["speaker_id"],
+                           max_tokens=8, temperature=0.0)
+    assert wav.shape[0] == 2 and wav.shape[1] == 8 * model.codec.hop
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_denoiser(rng):
+    from speechflow_tpu.models.vocoder import Vocos, VocosParams
+    from speechflow_tpu.models.vocoder.denoiser import Denoiser
+
+    voc = Vocos(VocosParams(dim=48, n_layers=1, n_mels=20, n_fft=512,
+                            hop_length=128), rngs=nnx.Rngs(0))
+    den = Denoiser(voc, n_mels=20, n_fft=512, hop_length=128, bias_frames=16)
+    wav = jnp.asarray(_tone_batch(rng, t=4096))
+    out = den(wav, strength=0.05)
+    assert out.shape == wav.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # zero strength ~ identity
+    out0 = den(wav, strength=0.0)
+    assert float(jnp.abs(out0 - wav).max()) < 1e-3

@@ -257,3 +257,27 @@ def test_spmd_data_parallel_step():
     for _ in range(30):
         last = tr.training_step(loader.next_batch())
     assert last["mse"] < first["mse"]
+
+
+def test_gan_spmd_data_parallel():
+    """GAN step with batches sharded over the virtual 8-device mesh."""
+    import jax
+
+    from tests.test_training import TinyDisc, TinyGen  # self-import for clarity
+
+    def gen_crit(gen_out, disc, inputs, targets, step):
+        return {"rec": jnp.mean((gen_out - targets["y"]) ** 2)}
+
+    def disc_crit(gen_out, disc, inputs, targets, step):
+        return {"d": jnp.mean(disc(gen_out) ** 2)}
+
+    assert jax.device_count() >= 8
+    gan = GANTrainer(TinyGen(), TinyDisc(), gen_crit, disc_crit,
+                     lambda b: ({"x": b["x"]}, {"y": b["y"]}),
+                     config=TrainerConfig(max_steps=5, use_mesh=True))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(16, 8)).astype(np.float32)
+    first = gan.training_step({"x": x, "y": x * 0.5})
+    for _ in range(10):
+        last = gan.training_step({"x": x, "y": x * 0.5})
+    assert last["gen/rec"] < first["gen/rec"]
