@@ -22,6 +22,9 @@ __all__ = ["mel_reconstruction_loss", "multires_stft_loss",
 def mel_reconstruction_loss(fake: jnp.ndarray, real: jnp.ndarray,
                             sample_rate: int = 24000, n_fft: int = 1024,
                             hop_length: int = 256, n_mels: int = 100) -> jnp.ndarray:
+    t = min(fake.shape[-1], real.shape[-1])
+    fake, real = fake[..., :t], real[..., :t]
+
     def logmel(w):
         mag = ops.magnitude(w, n_fft, hop_length)
         return ops.amp_to_db(ops.linear_to_mel(mag, sample_rate, n_mels))
@@ -31,6 +34,8 @@ def mel_reconstruction_loss(fake: jnp.ndarray, real: jnp.ndarray,
 
 def multires_stft_loss(fake: jnp.ndarray, real: jnp.ndarray,
                        resolutions=((512, 128), (1024, 256), (2048, 512))) -> jnp.ndarray:
+    t = min(fake.shape[-1], real.shape[-1])
+    fake, real = fake[..., :t], real[..., :t]
     total = 0.0
     for n_fft, hop in resolutions:
         mf = ops.magnitude(fake, n_fft, hop)
@@ -66,8 +71,12 @@ def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
                           stft_weight: float = 1.0, adv_weight: float = 1.0,
                           adv_start_iter: int = 0):
     def criterion(gen_out, disc, inputs, targets, step):
+        ft_losses = {}
+        if isinstance(gen_out, tuple):  # E2E extractor returns (wav, ft_losses)
+            gen_out, ft_losses = gen_out
         real = targets["waveform"]
-        fake = gen_out[..., : real.shape[-1]]
+        t = min(gen_out.shape[-1], real.shape[-1])
+        fake, real = gen_out[..., :t], real[..., :t]
         losses = {
             "mel": mel_weight * mel_reconstruction_loss(fake, real, sample_rate, n_mels=n_mels),
             "stft": stft_weight * multires_stft_loss(fake, real),
@@ -77,6 +86,7 @@ def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
         gate = (step >= adv_start_iter).astype(jnp.float32)
         losses["adv"] = adv_weight * gate * _hinge_gen(fake_logits)
         losses["fm"] = fm_weight * gate * _feature_matching(real_fmaps, fake_fmaps)
+        losses.update(ft_losses)
         return losses
 
     return criterion
@@ -84,8 +94,11 @@ def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
 
 def vocoder_disc_criterion():
     def criterion(gen_out, disc, inputs, targets, step):
+        if isinstance(gen_out, tuple):  # E2E extractor returns (wav, ft_losses)
+            gen_out = gen_out[0]
         real = targets["waveform"]
-        fake = gen_out[..., : real.shape[-1]]
+        t = min(gen_out.shape[-1], real.shape[-1])
+        fake, real = gen_out[..., :t], real[..., :t]
         fake_logits, _ = disc(fake)
         real_logits, _ = disc(real)
         return {"disc_hinge": _hinge_disc(real_logits, fake_logits)}

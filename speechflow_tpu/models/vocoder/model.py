@@ -33,8 +33,9 @@ class VocosParams(BaseModelParams):
     hop_length: int = 256
     n_mels: int = 100
 
-    feature_extractor: str = "mel"         # mel | audio
+    feature_extractor: str = "mel"         # mel | audio | tts (E2E, SURVEY §A.5)
     input_feature: str = "mel"             # for "audio": field name in inputs
+    tts_params: dict = {}                  # for "tts": ParallelTTSParams fields
     backbone: str = "vocos"                # vocos | dummy
     head: str = "istft"                    # istft | snake_upsample | imdct_symexp | imdct_cos
 
@@ -58,6 +59,14 @@ class Vocos(nnx.Module):
                                                  p.n_mels, rngs=rngs)
         elif p.feature_extractor == "audio":
             self.feature_extractor = AudioFeatures(p.input_feature, p.n_mels, rngs=rngs)
+        elif p.feature_extractor == "tts":
+            # E2E GAN-TTS: the full acoustic model is the extractor; its
+            # losses surface through __call__'s ft_losses (SURVEY §A.5)
+            from speechflow_tpu.models.tts import ParallelTTSParams
+            from speechflow_tpu.models.vocoder.tts_features import TTSFeatures
+
+            tts_p = ParallelTTSParams.create(dict(p.tts_params, n_mels=p.n_mels))
+            self.feature_extractor = TTSFeatures(tts_p, rngs=rngs)
         else:
             raise ValueError(p.feature_extractor)
 
@@ -83,13 +92,17 @@ class Vocos(nnx.Module):
         else:
             raise ValueError(p.head)
 
-    def __call__(self, inputs: tp.Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, inputs: tp.Mapping[str, jnp.ndarray]):
         feats = self.feature_extractor(inputs)
+        ft_losses = None
+        if isinstance(feats, tuple):  # TTSFeatures returns (mel, ft_losses)
+            feats, ft_losses = feats
         cond = inputs.get("speaker_emb") if isinstance(inputs, dict) else None
         h = self.backbone(feats, cond)
         wav = self.head(h)
         # uniform contract: T feature frames -> exactly (T-1)*hop samples
-        return wav[..., : (feats.shape[1] - 1) * self.params.hop_length]
+        wav = wav[..., : (feats.shape[1] - 1) * self.params.hop_length]
+        return wav if ft_losses is None else (wav, ft_losses)
 
     def features(self, inputs) -> jnp.ndarray:
         return self.feature_extractor(inputs)

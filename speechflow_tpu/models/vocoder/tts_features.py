@@ -32,9 +32,12 @@ class TTSFeatures(nnx.Module):
         self.dim = tts_params.n_mels
 
     def __call__(self, inputs) -> tp.Tuple[jnp.ndarray, tp.Dict[str, jnp.ndarray]]:
-        """inputs: TTSForwardInput-like mapping; returns (mel_features, ft_losses)."""
-        training = inputs.get("_training", True) if isinstance(inputs, dict) else True
+        """inputs: {'tts_inputs': TTSForwardInput, ...} or a TTSForwardInput;
+        returns (mel_features, ft_losses). Training mode is decided statically
+        by whether teacher mel targets are present (a bool in the traced input
+        dict would leak as a tracer)."""
         tts_in = inputs["tts_inputs"] if isinstance(inputs, dict) else inputs
+        training = tts_in.mel is not None
         out = self.tts(tts_in, training=training)
         ft_losses = {}
         if training and tts_in.mel is not None:
@@ -51,14 +54,23 @@ class TTSFeatures(nnx.Module):
         return out.after_postnet_spectrogram, ft_losses
 
 
-def e2e_gen_criterion(base_criterion: tp.Callable) -> tp.Callable:
-    """Wrap a vocoder gen criterion to merge TTSFeatures' ft_losses
-    (reference: vocos/lightning_engine.py:246-252)."""
+class E2EBatchProcessor:
+    """Collated batch -> ({'tts_inputs', 'waveform', ...}, targets) for the
+    E2E generator (acoustic model inside the vocoder)."""
 
-    def criterion(gen_out, disc, inputs, targets, step):
-        wav, ft_losses = gen_out if isinstance(gen_out, tuple) else (gen_out, {})
-        losses = base_criterion(wav, disc, inputs, targets, step)
-        losses.update(ft_losses)
-        return losses
+    def __init__(self):
+        from speechflow_tpu.models.tts.batch_processor import TTSBatchProcessor
 
-    return criterion
+        self.tts_bp = TTSBatchProcessor()
+
+    def __call__(self, batch):
+        tts_inputs, _ = self.tts_bp(batch)
+        from speechflow_tpu.data.core.batch import Batch
+
+        c = batch.collated_samples if isinstance(batch, Batch) else batch
+        get = (lambda k: c.get(k)) if isinstance(c, dict) else (lambda k: getattr(c, k, None))
+        wav = get("waveform")
+        inputs = {"tts_inputs": tts_inputs, "waveform": wav}
+        if get("speaker_emb") is not None:
+            inputs["speaker_emb"] = get("speaker_emb")
+        return inputs, {"waveform": wav}

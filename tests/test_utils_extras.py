@@ -153,3 +153,45 @@ def test_tts_features_e2e(rng):
     assert any(k.startswith("ft_") for k in ft_losses)
     for v in ft_losses.values():
         assert np.isfinite(float(v))
+
+
+def test_e2e_vocoder_gan_step(rng):
+    """StyleTTS2-like wiring (SURVEY §A.5): ParallelTTSModel inside the Vocos
+    generator; ft_ losses merge into the GAN objective; one GAN step runs."""
+    import jax.numpy as jnp
+
+    from speechflow_tpu.models.vocoder import (
+        Vocos,
+        VocosParams,
+        VocoderDiscriminator,
+        vocoder_disc_criterion,
+        vocoder_gen_criterion,
+    )
+    from speechflow_tpu.models.vocoder.tts_features import E2EBatchProcessor
+    from speechflow_tpu.training import GANTrainer, OptimizerConfig, TrainerConfig
+    from tests.test_tts_model import _inputs
+
+    hop = 256
+    tts_inp = _inputs(rng)  # 64 frames, 40 mels
+    wav = rng.normal(size=(2, 64 * hop)).astype(np.float32) * 0.2
+    p = VocosParams.create(dict(
+        feature_extractor="tts", n_mels=40, dim=48, n_layers=1, head="istft",
+        n_fft=512, hop_length=hop,
+        tts_params=dict(n_symbols=60, n_speakers=4, encoder_dim=48,
+                        encoder_layers=1, decoder_dim=48, decoder_layers=1,
+                        token_emb_dim=48, speaker_emb_dim=16, postnet_dim=48,
+                        max_output_length=64)))
+    gen = Vocos(p, rngs=nnx.Rngs(0))
+    disc = VocoderDiscriminator(periods=(2,), resolutions=((512, 128),),
+                                channels=4, rngs=nnx.Rngs(1))
+    gan = GANTrainer(gen, disc,
+                     vocoder_gen_criterion(24000, n_mels=40, adv_start_iter=0),
+                     vocoder_disc_criterion(),
+                     lambda b: b,  # batch already prepared below
+                     config=TrainerConfig(max_steps=2, log_every=10**9))
+    inputs = {"tts_inputs": tts_inp, "waveform": jnp.asarray(wav)}
+    metrics = gan.training_step((inputs, {"waveform": jnp.asarray(wav)}))
+    assert any(k.startswith("gen/ft_") for k in metrics), metrics.keys()
+    assert "gen/mel" in metrics and "disc/disc_hinge" in metrics
+    for v in metrics.values():
+        assert np.isfinite(v)
