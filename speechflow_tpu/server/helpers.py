@@ -22,7 +22,7 @@ from speechflow_tpu.server.loader import DataLoader
 from speechflow_tpu.server.server import DataServer
 from speechflow_tpu.server.worker import WorkerPool
 
-__all__ = ["init_data_loader", "get_dataset_iterator", "LoaderBundle", "find_free_port"]
+__all__ = ["init_data_loader", "init_data_loader_from_configs", "get_dataset_iterator", "LoaderBundle", "find_free_port"]
 
 
 def find_free_port() -> int:
@@ -104,6 +104,76 @@ def init_data_loader(
         server.stop()
         raise
     return LoaderBundle(server, pool, loaders)
+
+
+def init_data_loader_from_configs(
+    config_paths: tp.Sequence[tp.Union[str, Path]],
+    value_select: tp.Optional[tp.Sequence[str]] = None,
+    subsets: tp.Optional[tp.Sequence[str]] = None,
+    batch_size: int = 8,
+    n_workers_per_server: int = 2,
+    prefetch_factor: int = 8,
+) -> "LoaderBundle":
+    """Multi-corpus training: one DataServer (+workers) per data config, a
+    Proxy fanning them in, loaders speaking to the proxy
+    (reference: helpers.py:218 init_data_loader_from_config multi-config path).
+    """
+    from speechflow_tpu.server.proxy import Proxy
+
+    if len(config_paths) == 1:
+        return init_data_loader(config_path=config_paths[0], value_select=value_select,
+                                subsets=subsets, batch_size=batch_size,
+                                n_workers=n_workers_per_server,
+                                prefetch_factor=prefetch_factor)
+
+    servers, pools, fronts = [], [], []
+    try:
+        pipelines = []
+        for path in config_paths:
+            dp = DataPipeline.init_from_config(path, value_select=value_select)
+            dp.init_components()
+            pipelines.append(dp)
+        for dp in pipelines:
+            front = f"tcp://127.0.0.1:{find_free_port()}"
+            back = f"tcp://127.0.0.1:{find_free_port()}"
+            payload = pickle.dumps({
+                "info": dp.get_info(),
+                "datasets": {s: dp[s].dataset for s in dp.subsets},
+            }, protocol=5)
+            srv = DataServer(front, back, payload, n_workers_hint=n_workers_per_server)
+            srv.start(timeout=300)
+            pool = WorkerPool(back, n_workers_per_server)
+            pool.start(timeout=300)
+            servers.append(srv)
+            pools.append(pool)
+            fronts.append(front)
+        proxy_front = f"tcp://127.0.0.1:{find_free_port()}"
+        proxy = Proxy(proxy_front, fronts)
+        proxy.start(timeout=300)
+        subsets = list(subsets or pipelines[0].subsets)
+        loaders = {
+            s: DataLoader(proxy_front, s, batch_size,
+                          prefetch_factor=prefetch_factor).start()
+            for s in subsets
+        }
+    except Exception:
+        for p in pools:
+            p.stop()
+        for s in servers:
+            s.stop()
+        raise
+
+    class _MultiBundle(LoaderBundle):
+        def shutdown(self) -> None:
+            for ld in self.loaders.values():
+                ld.stop()
+            proxy.stop()
+            for p in pools:
+                p.stop()
+            for s in servers:
+                s.stop()
+
+    return _MultiBundle(servers[0], pools[0], loaders)
 
 
 def get_dataset_iterator(pipeline: DataPipeline, subset: str = "train",
