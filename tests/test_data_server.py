@@ -4,6 +4,7 @@ into an empty-config pipeline, REAL server/worker processes and sockets,
 exact per-label delivery counts across epochs."""
 
 import collections
+from pathlib import Path
 
 import pytest
 
@@ -135,3 +136,32 @@ def test_proxy_fans_in_two_servers():
             p.stop()
         for s in servers:
             s.stop()
+
+
+def test_multi_config_loader(tmp_path, mini_dataset_path):
+    """init_data_loader_from_configs: N servers + proxy, merged info,
+    batches from every corpus."""
+    from speechflow_tpu.server.helpers import init_data_loader_from_configs
+
+    paths = []
+    for lang in ("EN", "RU"):
+        cfg = Config.create_from_file(
+            Path(__file__).parent.parent / "configs" / "tts_data_24khz.yml",
+            value_select=["debug"])
+        cfg.set_path("dirs.data_root", f"{mini_dataset_path}/{lang}")
+        cfg.set_path("dataset.max_num_samples", 3)
+        p = tmp_path / f"{lang}.yml"
+        cfg.to_file(p)
+        paths.append(str(p))
+    bundle = init_data_loader_from_configs(paths, batch_size=2,
+                                           n_workers_per_server=1)
+    try:
+        spk = bundle["train"].info["singletons"]["SpeakerIDSetter"]
+        assert len(spk["lang2id"]) == 2
+        langs = set()
+        for _ in range(6):
+            b = bundle["train"].next_batch(timeout=180)
+            langs |= {s.lang for s in b.data_samples}
+        assert langs == {"EN", "RU"}
+    finally:
+        bundle.shutdown()
