@@ -41,9 +41,20 @@ def stack_and_pad(
     multiple: tp.Optional[int] = None,
     target_len: tp.Optional[int] = None,
 ) -> tp.Tuple[np.ndarray, np.ndarray]:
-    """Stack variable-length arrays into (B, T, ...) + lengths (B,)."""
+    """Stack variable-length arrays into (B, T, ...) + lengths (B,).
+
+    Uses the native C++ packer (utils/native.py) for float32/int32 inputs —
+    this is the worker-side per-batch hot loop — with a numpy fallback.
+    """
     lengths = np.asarray([a.shape[0] for a in arrays], dtype=np.int32)
     tmax = target_len if target_len is not None else round_up(int(lengths.max()), multiple)
+
+    from speechflow_tpu.utils.native import native_pack
+
+    packed = native_pack(arrays, tmax, pad_value)
+    if packed is not None:
+        return packed, lengths
+
     fn = pad_1d if arrays[0].ndim == 1 else pad_2d
     batch = np.stack([fn(a, tmax, pad_value) for a in arrays])
     return batch, lengths
