@@ -157,6 +157,12 @@ class TTSCollate(SpectrogramCollate):
         for attr in ("aggregate_pitch", "aggregate_energy", "prosody", "ling_feat", "lm_feat"):
             arr, _ = _opt_stack(samples, attr, target_len=n_tok)
             setattr(out, attr, arr)
+        # SSML modifiers live in ds.additional (token-level factors)
+        for key in ("pitch_modifier", "volume_modifier", "rate_modifier"):
+            vals = [s.additional.get(key) for s in samples]
+            if all(v is not None for v in vals):
+                out.additional[key], _ = stack_and_pad(vals, pad_value=1.0,
+                                                       target_len=n_tok)
         gate, _ = _opt_stack(samples, "gate", target_len=t_mel)
         if gate is not None and t_mel is not None:
             # padding frames keep gate=1 so the stop head trains on them too

@@ -109,15 +109,42 @@ class TTSEvaluationInterface:
 
     def prepare_batch(self, sentences: tp.Sequence[str], ctx: TTSContext,
                       opts: TTSOptions):
+        import numpy as np
+
         samples = []
         for sent in sentences:
             ds = TTSDataSample(
                 text=sent, lang=ctx.lang,
-                phonemes=self.prepare_text(sent, ctx.lang),
                 speaker_name=ctx.speaker_name,
                 speaker_id=ctx.speaker_id, lang_id=ctx.lang_id,
                 speaker_emb=ctx.speaker_emb,
             )
+            if "<prosody" in sent:
+                # SSML path: per-word modifiers expanded to token level
+                from speechflow_tpu.data.processors.ssml import (
+                    apply_ssml_modifiers,
+                    parse_ssml,
+                )
+
+                plain, words = parse_ssml(sent)
+                phonemes, word_lengths = [], []
+                for word, _ in words:
+                    toks = self.prepare_text(word, ctx.lang)
+                    phonemes.extend(toks)
+                    word_lengths.append(len(toks))
+                ds.text = plain
+                ds.phonemes = phonemes
+                ds.word_lengths = np.asarray(word_lengths, np.int32)
+                ds.transcription = self.text_processor.encode_phonemes(phonemes)
+                # account for BOS/EOS service tokens in the word map
+                if len(ds.transcription) == sum(word_lengths) + 2:
+                    ds.word_lengths = np.concatenate(
+                        [[1], ds.word_lengths, [1]]).astype(np.int32)
+                    words = [("<BOS>", {})] + words + [("<EOS>", {})]
+                ds.additional["ssml"] = words
+                ds = apply_ssml_modifiers(ds)
+            else:
+                ds.phonemes = self.prepare_text(sent, ctx.lang)
             samples.append(ds)
         batch = self.pipeline["train"].datasample_to_batch(samples)
         inputs, _ = self.batch_processor(batch)
@@ -136,6 +163,8 @@ class TTSEvaluationInterface:
         interface for a waveform (reference call chain SURVEY §3.3)."""
         opts = opts or TTSOptions()
         ctx = self.create_context(lang, speaker)
-        sentences = self.split_sentences(text)
+        # sentence splitting would cut across <prosody> spans — SSML input is
+        # synthesized as one utterance
+        sentences = [text] if "<prosody" in text else self.split_sentences(text)
         inputs = self.prepare_batch(sentences, ctx, opts)
         return self.evaluate(inputs, opts)

@@ -9,6 +9,7 @@ shared input schema consumed by both the acoustic model and the vocoder
 
 from __future__ import annotations
 
+import dataclasses
 import typing as tp
 
 import numpy as np
@@ -49,6 +50,13 @@ class TTSBatchProcessor:
             pitch=get("pitch"),
             energy=get("energy"),
             ranges=ranges,
+        )
+        extra = get("additional") or {}
+        inputs = dataclasses.replace(
+            inputs,
+            pitch_modifier=extra.get("pitch_modifier"),
+            volume_modifier=extra.get("volume_modifier"),
+            rate_modifier=extra.get("rate_modifier"),
         )
         targets = TTSTarget(
             mel=get("mel"),

@@ -53,6 +53,9 @@ class TTSForwardInput:
     pitch: tp.Optional[jnp.ndarray] = None                  # (B, T) frame-level
     energy: tp.Optional[jnp.ndarray] = None
     ranges: tp.Optional[jnp.ndarray] = None                 # (B, n_feat, 4) speaker stat ranges
+    pitch_modifier: tp.Optional[jnp.ndarray] = None          # (B, N) SSML factors
+    volume_modifier: tp.Optional[jnp.ndarray] = None
+    rate_modifier: tp.Optional[jnp.ndarray] = None
     pad_id: int = 0
 
     def get(self, name, default=None):

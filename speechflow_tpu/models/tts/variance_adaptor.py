@@ -87,6 +87,13 @@ class HierarchicalVarianceAdaptor(nnx.Module):
         predictions: tp.Dict[str, jnp.ndarray] = {}
         x = content
 
+        # SSML modifiers multiply the conditioning values (SURVEY §A.1 step 3:
+        # pitch_modifier -> aggregate_pitch, volume_modifier -> energy)
+        modifiers = {
+            "aggregate_pitch": inputs.get("pitch_modifier"),
+            "aggregate_energy": inputs.get("volume_modifier"),
+        }
+
         # 1) non-duration variances: predict, (teacher-)condition the content
         for v in self.variances:
             if v.name == "durations":
@@ -97,6 +104,9 @@ class HierarchicalVarianceAdaptor(nnx.Module):
             target = inputs.get(v.target or v.name)
             value = target if (training and v.use_target and target is not None) \
                 else jax.lax.stop_gradient(pred)
+            mod = modifiers.get(v.name)
+            if mod is not None:
+                value = value * mod
             if v.cat_to_content:
                 if v.as_embedding:
                     feat = self.embeddings[v.name](value)
@@ -118,6 +128,10 @@ class HierarchicalVarianceAdaptor(nnx.Module):
                 durations = target_d
             else:
                 durations = TokenLevelDP.to_durations(log_d, token_lengths)
+                rate = inputs.get("rate_modifier")
+                if rate is not None:
+                    # SSML rate: slower speech = longer tokens (divide by rate)
+                    durations = durations / jnp.maximum(rate, 1e-3)
                 durations = jnp.round(durations)
             if self.soft_lr:
                 x, attn = length_regulate_soft(x, durations, t_out)

@@ -64,3 +64,76 @@ def test_ssml_parse_and_modifiers():
     assert pm[2:6].tolist() == pytest.approx([1.2] * 4)
     rm = ds.additional["rate_modifier"]
     assert rm[2:6].tolist() == pytest.approx([0.8] * 4)
+
+
+def test_ssml_modifiers_through_variance_adaptor(rng):
+    """SSML factors reach the model: rate_modifier scales predicted durations,
+    pitch/volume modifiers scale conditioning values (SURVEY §A.1 step 3)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
+    from tests.test_tts_model import _inputs
+
+    p = ParallelTTSParams.create(
+        n_symbols=60, n_speakers=4, n_mels=40, encoder_dim=48, encoder_layers=1,
+        decoder_dim=48, decoder_layers=1, token_emb_dim=48, speaker_emb_dim=16,
+        postnet_dim=48, max_output_length=128)
+    model = ParallelTTSModel(p, rngs=nnx.Rngs(0))
+    base = dataclasses.replace(_inputs(rng), durations=None, mel=None,
+                               mel_lengths=None, aggregate_pitch=None,
+                               aggregate_energy=None)
+    out_normal = model.inference(base, t_out=128)
+    slow = dataclasses.replace(base, rate_modifier=jnp.full((2, 16), 0.5))
+    out_slow = model.inference(slow, t_out=128)
+    # rate 0.5 => durations doubled => longer outputs (capped at t_out)
+    assert int(out_slow.spectrogram_lengths.sum()) > int(out_normal.spectrogram_lengths.sum())
+
+
+def test_ssml_through_eval_interface(tmp_path, rng):
+    """End to end: SSML text through the checkpoint interface produces
+    modifier-aware inputs (slower span -> longer audio than plain text)."""
+    import os
+
+    mini = "/root/reference/examples/simple_datasets/speech/SEGS"
+    if not os.path.isdir(mini):
+        pytest.skip("mini dataset unavailable")
+    from pathlib import Path
+
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.scripts import train_tts
+    from speechflow_tpu.interface import TTSEvaluationInterface, TTSOptions
+    from speechflow_tpu.training import ExperimentSaver
+
+    cfg_dir = Path(__file__).parent.parent / "configs"
+    cfg = Config.create_from_file(cfg_dir / "tts_model.yml", value_select=["debug"])
+    cfg.set_path("experiment.base_dir", str(tmp_path))
+    cfg.set_path("trainer.max_steps", 4)
+    cfg.set_path("trainer.ckpt_every", 4)
+    mpath = tmp_path / "m.yml"
+    cfg.to_file(mpath)
+    exp = train_tts.main(["-c", str(mpath), "-cd", str(cfg_dir / "tts_data_24khz.yml"),
+                          "-vs", "debug", "--data_root", mini, "--platform", "cpu"])
+    iface = TTSEvaluationInterface(ExperimentSaver.get_last_checkpoint(exp))
+    import numpy as np
+
+    # the prepared inputs must carry the expanded token-level modifiers
+    ctx = iface.create_context("EN", iface.get_speakers()[0])
+    inputs = iface.prepare_batch(
+        ['hello <prosody rate="x-slow" pitch="+20%">world</prosody> again'],
+        ctx, TTSOptions(t_out=256))
+    rate = np.asarray(inputs.rate_modifier)[0]
+    pitch = np.asarray(inputs.pitch_modifier)[0]
+    n = int(np.asarray(inputs.transcription_lengths)[0])
+    # 'world' span tokens get 0.6 rate / 1.2 pitch; the rest stay 1.0
+    assert (rate[:n] == 0.6).sum() == 5
+    assert (np.isclose(pitch[:n], 1.2)).sum() == 5
+    assert np.isclose(rate[:n][rate[:n] != 0.6], 1.0).all()
+
+    # synthesis with modifiers stays finite end to end
+    out = iface.synthesize('hello <prosody rate="fast">world</prosody> again',
+                           lang="EN", speaker=iface.get_speakers()[0],
+                           opts=TTSOptions(t_out=256))
+    assert np.isfinite(np.asarray(out.after_postnet_spectrogram)).all()
