@@ -281,7 +281,40 @@ class DataPipeline:
                     merged["singletons"][name] = inst.state_dict()
             for s, n in other.get("dataset_sizes", {}).items():
                 merged["dataset_sizes"][s] = merged["dataset_sizes"].get(s, 0) + n
+        # the alphabet must span every corpus, not just the first one:
+        # rebuild it from the merged phoneme statistics when available
+        ph = merged.get("singletons", {}).get("PhonemeStatistics")
+        if ph and ph.get("counts"):
+            merged["alphabet"] = Alphabet(sorted(ph["counts"])).to_dict()
         return merged
+
+    def adopt_shared_state(self, info: dict) -> None:
+        """Load merged singleton state (and merged alphabet) into this pipeline
+        and re-apply to its datasets.
+
+        Multi-corpus training fits one SpeakerIDSetter (etc.) per corpus, so
+        per-server speaker_id/lang_id/transcription ids would be corpus-local
+        while the Proxy hands the trainer the merged maps. Pushing the merged
+        state back into every pipeline *before* its server starts keeps batch
+        ids consistent with the aggregate info
+        (reference: multi-server singleton merge, components.py:510).
+        """
+        for subset in self.subsets:
+            comp = self.components[subset]
+            for name, state in info.get("singletons", {}).items():
+                inst = comp.singletons.get(name)
+                if inst is not None:
+                    inst.load_state_dict(state)
+        if info.get("alphabet"):
+            self.alphabet = Alphabet.from_dict(info["alphabet"])
+        for subset in self.subsets:
+            comp = self.components[subset]
+            if comp.dataset is not None:
+                for inst in comp.singletons.values():
+                    if hasattr(inst, "apply"):
+                        for i in range(len(comp.dataset)):
+                            inst.apply(comp.dataset[i])
+            comp.build_preproc(self.alphabet)
 
     @staticmethod
     def from_info(info: dict,

@@ -133,6 +133,13 @@ def init_data_loader_from_configs(
             dp = DataPipeline.init_from_config(path, value_select=value_select)
             dp.init_components()
             pipelines.append(dp)
+        # fit is per-corpus; merge the dataset-level state (speaker/lang id
+        # maps, ranges, phoneme stats -> alphabet) and push it back into every
+        # pipeline so each server labels batches in the merged id space that
+        # the Proxy's aggregate info reports to the trainer
+        merged = DataPipeline.aggregate_info([dp.get_info() for dp in pipelines])
+        for dp in pipelines:
+            dp.adopt_shared_state(merged)
         for dp in pipelines:
             front = f"tcp://127.0.0.1:{find_free_port()}"
             back = f"tcp://127.0.0.1:{find_free_port()}"

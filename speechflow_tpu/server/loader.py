@@ -119,7 +119,7 @@ class DataLoader:
                 self._request_more()
                 # silence is only suspicious when we're actually starved
                 if (time.time() - self._last_recv > self.dead_after_s
-                        and self._outstanding > 0 and not self._queue):
+                        and self._outstanding and not self._queue):
                     LOGGER.warning("loader %s: server silent for %.0fs", self.uid[:6], self.dead_after_s)
                     self._last_recv = time.time()
                 continue

@@ -164,5 +164,13 @@ class GANTrainer:
             state = nnx.state(mod, nnx.Not(nnx.RngState))
             nnx.replace_by_pure_dict(state, tree["model"][key])
             nnx.update(mod, state)
+        # restore both optimizers too — resuming a GAN run must not reset the
+        # Adam moments/step counts (mirrors Trainer.load_checkpoint)
+        opt_tree = tree.get("opt") or {}
+        for opt, key in ((self.gen_opt, "gen_opt"), (self.disc_opt, "disc_opt")):
+            if key in opt_tree:
+                state = nnx.state(opt, nnx.Not(nnx.RngState))
+                nnx.replace_by_pure_dict(state, opt_tree[key])
+                nnx.update(opt, state)
         self.global_step = int(tree.get("step", 0))
         return payload

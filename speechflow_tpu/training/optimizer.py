@@ -99,6 +99,10 @@ def build_optimizer(cfg: OptimizerConfig,
             Group membership is resolved from the update tree's own paths at
             trace time (static), so this works with any grad pytree structure
             (nnx State, pure dict, ...) without a parallel label tree.
+            Applied AFTER the base optimizer so the scale acts on *updates*
+            (Adam-family methods are invariant to gradient scale) and a
+            disabled window fully freezes params — including AdamW weight
+            decay, which lives in the base updates.
             """
 
             def init(params):
@@ -121,7 +125,7 @@ def build_optimizer(cfg: OptimizerConfig,
 
             return optax.GradientTransformation(init, update)
 
-        tx = optax.chain(gate_updates(), tx)
+        tx = optax.chain(tx, gate_updates())
 
     if cfg.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)

@@ -89,6 +89,11 @@ def native_pack(arrays: tp.Sequence[np.ndarray], t_max: int,
         fn, ctype = lib.pack_i32, ctypes.c_int32
     else:
         return None
+    # dtype/row-shape are taken from arrays[0]; a mismatching later array
+    # would make the C side read past its buffer — fall back to numpy (which
+    # raises a clear error on ragged trailing dims) instead
+    if any(a.dtype != a0.dtype or a.shape[1:] != a0.shape[1:] for a in arrays[1:]):
+        return None
     row_elems = 1 if a0.ndim == 1 else int(np.prod(a0.shape[1:]))
     n = len(arrays)
     arrays = [np.ascontiguousarray(a) for a in arrays]

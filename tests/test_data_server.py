@@ -162,6 +162,12 @@ def test_multi_config_loader(tmp_path, mini_dataset_path):
         for _ in range(6):
             b = bundle["train"].next_batch(timeout=180)
             langs |= {s.lang for s in b.data_samples}
+            # regression: each server must label batches in the MERGED id
+            # space, not its corpus-local one (both corpora would otherwise
+            # number speakers/langs from 0)
+            for s in b.data_samples:
+                assert s.lang_id == spk["lang2id"][s.lang]
+                assert s.speaker_id == spk["speaker2id"][s.speaker_name]
         assert langs == {"EN", "RU"}
     finally:
         bundle.shutdown()
