@@ -152,18 +152,65 @@ class TacoDecoder(nnx.Module):
 
 
 class CausalBlock(nnx.Module):
+    """Pre-norm causal self-attention block with explicit q/k/v projections so
+    sampling can carry a KV cache through a scan (the reference GPTA streams
+    AR inference the same way, common/gpts/gpt_acoustic.py:34)."""
+
     def __init__(self, dim: int, n_heads: int, rngs: nnx.Rngs):
+        self.n_heads = n_heads
+        self.head_dim = dim // n_heads
         self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
-        self.attn = nnx.MultiHeadAttention(num_heads=n_heads, in_features=dim,
-                                           qkv_features=dim, decode=False, rngs=rngs)
+        self.q = nnx.Linear(dim, dim, rngs=rngs)
+        self.k = nnx.Linear(dim, dim, rngs=rngs)
+        self.v = nnx.Linear(dim, dim, rngs=rngs)
+        self.o = nnx.Linear(dim, dim, rngs=rngs)
         self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
         self.ff1 = nnx.Linear(dim, 4 * dim, rngs=rngs)
         self.ff2 = nnx.Linear(4 * dim, dim, rngs=rngs)
 
-    def __call__(self, x, mask):
-        h = rope_rotate(self.norm1(x))
-        x = x + self.attn(h, h, h, mask=mask, deterministic=True)
+    def _qkv(self, x, positions=None):
+        b, t, _ = x.shape
+        h = rope_rotate(self.norm1(x), positions=positions)
+        shape = (b, t, self.n_heads, self.head_dim)
+        return (self.q(h).reshape(shape), self.k(h).reshape(shape),
+                self.v(h).reshape(shape))
+
+    def _attend(self, q, k, v, mask):
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(self.head_dim)
+        scores = jnp.where(mask, scores, -1e9)
+        attn = jax.nn.softmax(scores, axis=-1)
+        b, t = q.shape[:2]
+        return jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, t, -1)
+
+    def _ff(self, x):
         return x + self.ff2(nnx.gelu(self.ff1(self.norm2(x))))
+
+    def __call__(self, x, mask):
+        q, k, v = self._qkv(x)
+        return self._ff(x + self.o(self._attend(q, k, v, mask)))
+
+    # -- KV-cached decoding --------------------------------------------------
+
+    def init_cache(self, b: int, max_len: int, dtype=jnp.float32):
+        shape = (b, max_len, self.n_heads, self.head_dim)
+        return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def prefill(self, x, cache):
+        """Parallel causal pass over the prefix; fills cache[:, :t]."""
+        t = x.shape[1]
+        q, k, v = self._qkv(x)
+        k_c = jax.lax.dynamic_update_slice_in_dim(cache[0], k, 0, axis=1)
+        v_c = jax.lax.dynamic_update_slice_in_dim(cache[1], v, 0, axis=1)
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        return self._ff(x + self.o(self._attend(q, k, v, causal))), (k_c, v_c)
+
+    def decode_step(self, x_t, cache, pos):
+        """One token: x_t (B, 1, D) at absolute position ``pos`` (traced)."""
+        q, k, v = self._qkv(x_t, positions=jnp.asarray(pos)[None])
+        k_c = jax.lax.dynamic_update_slice_in_dim(cache[0], k, pos, axis=1)
+        v_c = jax.lax.dynamic_update_slice_in_dim(cache[1], v, pos, axis=1)
+        kv_mask = (jnp.arange(k_c.shape[1]) <= pos)[None, None, None, :]
+        return self._ff(x_t + self.o(self._attend(q, k_c, v_c, kv_mask))), (k_c, v_c)
 
 
 class GPTDecoder(nnx.Module):
@@ -214,12 +261,68 @@ class GPTDecoder(nnx.Module):
         mask = sequence_mask(audio_lengths, audio_ids.shape[1]).astype(ce.dtype)
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
+    def _sample(self, logits, key, temperature: float):
+        if temperature > 0:
+            return jax.random.categorical(key, logits / temperature, axis=-1).astype(jnp.int32)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
     def generate(self, text_ids, max_tokens: int = 256, temperature: float = 0.8,
                  key=None, cond=None):
-        """Greedy/temperature sampling with a static token budget.
+        """KV-cached sampling: one parallel prefill over [text ; BOS] fills the
+        per-layer caches, then a ``lax.scan`` decodes one token per step with
+        O(1) trunk work (static shapes; reference GPTA streaming inference,
+        common/gpts/gpt_acoustic.py:34)."""
+        b, t_text = text_ids.shape
+        key = key if key is not None else jax.random.PRNGKey(0)
+        l_max = t_text + 1 + max_tokens
 
-        Recomputes the trunk each step (O(T^2) — correct and simple; KV-cached
-        scan is the planned optimization)."""
+        cond_emb = (self.cond_proj(cond)[:, None, :]
+                    if self.cond_proj is not None and cond is not None else None)
+
+        def embed_audio(ids):
+            e = self.audio_emb(ids)
+            return e + cond_emb if cond_emb is not None else e
+
+        # prefill the prefix [text ; BOS] — caches hold positions [0, t_text]
+        x = jnp.concatenate(
+            [self.text_emb(text_ids),
+             self.audio_emb(jnp.full((b, 1), self.bos, jnp.int32))], axis=1)
+        if cond_emb is not None:
+            x = x + cond_emb
+        caches = []
+        for blk in self.blocks:
+            x, cache = blk.prefill(x, blk.init_cache(b, l_max))
+            caches.append(cache)
+        logits0 = self.head(self.norm(x[:, -1]))
+
+        tokens = jnp.full((b, max_tokens), self.eos, jnp.int32)
+        key, sub = jax.random.split(key)
+        tok0 = self._sample(logits0, sub, temperature)
+        tokens = tokens.at[:, 0].set(tok0)
+
+        def step(carry, i):
+            tokens, prev, caches, key = carry
+            # audio token i-1 sits at absolute position t_text + 1 + (i-1)
+            x = embed_audio(prev[:, None])
+            pos = t_text + i
+            new_caches = []
+            for blk, cache in zip(self.blocks, caches):
+                x, c = blk.decode_step(x, cache, pos)
+                new_caches.append(c)
+            logits = self.head(self.norm(x[:, 0]))
+            key, sub = jax.random.split(key)
+            nxt = self._sample(logits, sub, temperature)
+            tokens = tokens.at[:, i].set(nxt)
+            return (tokens, nxt, tuple(new_caches), key), None
+
+        (tokens, _, _, _), _ = jax.lax.scan(
+            step, (tokens, tok0, tuple(caches), key), jnp.arange(1, max_tokens))
+        return tokens
+
+    def generate_naive(self, text_ids, max_tokens: int = 256,
+                       temperature: float = 0.8, key=None, cond=None):
+        """O(T^2) sampling that re-runs the full trunk per step — kept as the
+        parity/benchmark reference for the KV-cached ``generate``."""
         b = text_ids.shape[0]
         key = key if key is not None else jax.random.PRNGKey(0)
         tokens = jnp.full((b, max_tokens), self.eos, jnp.int32)
@@ -231,11 +334,8 @@ class GPTDecoder(nnx.Module):
             logits = self._trunk(text_ids, inputs, cond)[:, text_ids.shape[1]:]
             step_logits = jax.lax.dynamic_slice_in_dim(logits, i, 1, axis=1)[:, 0]
             key, sub = jax.random.split(key)
-            if temperature > 0:
-                nxt = jax.random.categorical(sub, step_logits / temperature, axis=-1)
-            else:
-                nxt = jnp.argmax(step_logits, axis=-1)
-            tokens = tokens.at[:, i].set(nxt.astype(jnp.int32))
+            nxt = self._sample(step_logits, sub, temperature)
+            tokens = tokens.at[:, i].set(nxt)
             return (tokens, key), None
 
         (tokens, _), _ = jax.lax.scan(step, (tokens, key), jnp.arange(max_tokens))
@@ -264,12 +364,28 @@ class RetentionBlock(nnx.Module):
         # per-head decay gammas (RetNet: 1 - 2^(-5-h))
         self.gammas = tuple(1.0 - 2.0 ** (-5.0 - h) for h in range(n_heads))
 
+    def _qkv(self, x, positions=None):
+        b, t, _ = x.shape
+        h = self.norm(x)
+        shape = (b, t, self.n_heads, self.head_dim)
+        q = rope_rotate(self.q(h), positions=positions).reshape(shape)
+        k = rope_rotate(self.k(h), positions=positions).reshape(shape)
+        v = self.v(h).reshape(shape)
+        return h, q, k, v
+
+    def _mix(self, x, h, o):
+        b, t = x.shape[:2]
+        # per-token group norm: fold time into batch, else statistics would
+        # span the sequence and the parallel/recurrent forms would diverge
+        # (reference retentive.py:421-426 does the same fold)
+        o = self.gnorm(o.reshape(b * t, -1)).reshape(b, t, -1)
+        o = o * jax.nn.silu(self.g(h))
+        x = x + self.out(o)
+        return x + self.ff2(nnx.gelu(self.ff1(self.norm2(x))))
+
     def __call__(self, x, mask=None):
         b, t, d = x.shape
-        h = self.norm(x)
-        q = rope_rotate(self.q(h)).reshape(b, t, self.n_heads, self.head_dim)
-        k = rope_rotate(self.k(h)).reshape(b, t, self.n_heads, self.head_dim)
-        v = self.v(h).reshape(b, t, self.n_heads, self.head_dim)
+        h, q, k, v = self._qkv(x)
         n = jnp.arange(t)
         rel = n[:, None] - n[None, :]  # n - m
         outs = []
@@ -278,7 +394,29 @@ class RetentionBlock(nnx.Module):
             scores = jnp.einsum("btd,bsd->bts", q[:, :, head], k[:, :, head])
             scores = scores * decay[None] / np.sqrt(self.head_dim)
             outs.append(jnp.einsum("bts,bsd->btd", scores, v[:, :, head]))
-        o = jnp.stack(outs, axis=2).reshape(b, t, d)
-        o = self.gnorm(o) * jax.nn.silu(self.g(h))
-        x = x + self.out(o)
-        return x + self.ff2(nnx.gelu(self.ff1(self.norm2(x))))
+        o = jnp.stack(outs, axis=2)
+        return self._mix(x, h, o)
+
+    # -- recurrent decoding (RetNet O(1) inference form) -----------------------
+
+    def init_cache(self, b: int, max_len: int, dtype=jnp.float32):
+        return jnp.zeros((b, self.n_heads, self.head_dim, self.head_dim), dtype)
+
+    def prefill(self, x, cache):
+        """Parallel pass over the prefix; returns the recurrent state
+        S = sum_m gamma^(t-1-m) k_m (x) v_m so decoding can continue from it."""
+        t = x.shape[1]
+        h, q, k, v = self._qkv(x)
+        gammas = jnp.asarray(self.gammas, jnp.float32)  # (H,)
+        w = gammas[:, None] ** (t - 1 - jnp.arange(t)).astype(jnp.float32)[None, :]
+        state = jnp.einsum("ht,bthd,bthe->bhde", w, k, v)
+        return self.__call__(x), state
+
+    def decode_step(self, x_t, cache, pos):
+        """One token: S <- gamma*S + k (x) v; out = q S / sqrt(d)."""
+        h, q, k, v = self._qkv(x_t, positions=jnp.asarray(pos)[None])
+        gammas = jnp.asarray(self.gammas, jnp.float32)
+        state = cache * gammas[None, :, None, None] + jnp.einsum(
+            "bhd,bhe->bhde", k[:, 0], v[:, 0])
+        o = jnp.einsum("bhd,bhde->bhe", q[:, 0], state)[:, None] / np.sqrt(self.head_dim)
+        return self._mix(x_t, h, o), state

@@ -34,12 +34,19 @@ def sinusoidal_embedding(positions: jnp.ndarray, dim: int,
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
-def rope_rotate(x: jnp.ndarray, max_period: float = 10000.0) -> jnp.ndarray:
-    """Rotary position embedding on (..., T, D) (reference: pos_encoders.py:85)."""
+def rope_rotate(x: jnp.ndarray, max_period: float = 10000.0,
+                positions: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Rotary position embedding on (..., T, D) (reference: pos_encoders.py:85).
+
+    ``positions`` (shape (T,), may be traced) overrides the default 0..T-1 —
+    used by KV-cached decoding to rotate a single-step query at its absolute
+    sequence position.
+    """
     t, d = x.shape[-2], x.shape[-1]
     half = d // 2
     freqs = jnp.exp(-np.log(max_period) * jnp.arange(half) / half)
-    angles = jnp.arange(t)[:, None] * freqs[None, :]
+    pos = jnp.arange(t) if positions is None else positions
+    angles = pos[:, None] * freqs[None, :]
     cos, sin = jnp.cos(angles), jnp.sin(angles)
     x1, x2 = x[..., :half], x[..., half:2 * half]
     rot = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)

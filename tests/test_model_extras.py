@@ -70,6 +70,23 @@ def test_gpt_decoder_overfits(rng):
     assert toks.shape == (B, 10)
 
 
+def test_gpt_kv_cache_parity(rng):
+    """KV-cached generate must reproduce the O(T^2) full-trunk path exactly
+    (greedy), for both attention and retention blocks, with and without cond."""
+    from speechflow_tpu.models.tts.ar_decoders import GPTDecoder
+
+    text = jnp.asarray(rng.integers(0, 20, (2, 7)), jnp.int32)
+    cond = jnp.asarray(rng.normal(size=(2, 12)).astype(np.float32))
+    for block_type in ("attention", "retention"):
+        gpt = GPTDecoder(n_text_tokens=20, n_audio_tokens=34, dim=64, n_layers=2,
+                         n_heads=2, cond_dim=12, block_type=block_type,
+                         rngs=nnx.Rngs(3))
+        for c in (None, cond):
+            fast = gpt.generate(text, max_tokens=24, temperature=0.0, cond=c)
+            slow = gpt.generate_naive(text, max_tokens=24, temperature=0.0, cond=c)
+            assert np.array_equal(np.asarray(fast), np.asarray(slow)), block_type
+
+
 def test_nsf_head(rng):
     from speechflow_tpu.models.vocoder.nsf import NSFHiFiGANHead, NSFiSTFTHead, SineGen
 
