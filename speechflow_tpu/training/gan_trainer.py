@@ -26,7 +26,7 @@ from flax import nnx
 
 from speechflow_tpu.training.optimizer import OptimizerConfig, build_optimizer
 from speechflow_tpu.training.saver import ExperimentSaver
-from speechflow_tpu.training.trainer import TrainerConfig, _sum_losses
+from speechflow_tpu.training.trainer import TrainerConfig, _cast_floats, _sum_losses
 
 LOGGER = logging.getLogger("speechflow_tpu")
 
@@ -72,10 +72,16 @@ class GANTrainer:
 
             self._tb = SummaryWriter(str(tb_dir))
 
+        if self.cfg.mixed_precision:
+            from speechflow_tpu.training.trainer import set_compute_dtype
+
+            n = set_compute_dtype(generator) + set_compute_dtype(discriminator)
+            LOGGER.info("mixed precision: bf16 compute on %d modules (fp32 master weights)", n)
+
         @nnx.jit
         def _gen_step(gen, disc, gen_opt, inputs, targets, step):
             def loss_fn(g):
-                out = g(inputs)
+                out = _cast_floats(g(inputs), jnp.float32)
                 losses = gen_criterion(out, disc, inputs, targets, step)
                 return _sum_losses(losses), (losses, out)
 

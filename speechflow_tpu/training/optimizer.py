@@ -41,6 +41,7 @@ class OptimizerConfig:
     betas: tp.Tuple[float, float] = (0.9, 0.999)
     eps: float = 1e-8
     grad_clip: tp.Optional[float] = 1.0
+    grad_accum: int = 1               # micro-batches per optimizer step (reference: accumulate_grad_batches, mel_bigvgan.yml:26)
     param_groups: tp.List[ParamGroup] = dataclasses.field(default_factory=list)
 
     @staticmethod
@@ -132,4 +133,8 @@ def build_optimizer(cfg: OptimizerConfig,
     # NaN guard: reject non-finite updates entirely (reference detect_grad_nan,
     # lightning_engine.py:149 zeroes grads on inf/nan)
     tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
+    if cfg.grad_accum > 1:
+        # accumulate raw grads over k micro-batches; the inner chain (clip,
+        # base step, windows, NaN guard) runs once per true optimizer step
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
     return tx

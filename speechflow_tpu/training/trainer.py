@@ -43,7 +43,39 @@ class TrainerConfig:
     ckpt_every: int = 1000
     val_batches: int = 8
     use_mesh: bool = False        # shard batches over all local devices
+    mixed_precision: bool = False # bf16 compute with fp32 master weights
     seed: int = 0
+
+
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree (works on nnx State too)."""
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def set_compute_dtype(module: nnx.Module, dtype=jnp.bfloat16) -> int:
+    """Flax-native mixed precision: set the *compute* dtype on every flax
+    primitive (Linear/Conv/Embed/norm/attention...) in the module tree.
+
+    Each layer then casts its inputs and params to ``dtype`` for the
+    matmul/conv while ``param_dtype`` — the stored master weights — and the
+    optimizer state stay fp32, and gradients come back fp32. This is the
+    bf16 training recipe for the TPU MXU. Returns the number of patched
+    modules.
+    """
+    n = 0
+    for _, mod in nnx.iter_graph(module):
+        if (isinstance(mod, nnx.Module)
+                and type(mod).__module__.startswith("flax")
+                and hasattr(mod, "dtype")):
+            mod.dtype = dtype
+            n += 1
+    return n
 
 
 def _sum_losses(losses: tp.Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -86,11 +118,14 @@ class Trainer:
             self._tb = SummaryWriter(str(tb_dir))
 
         criterion_fn = self.criterion
+        if self.cfg.mixed_precision:
+            n = set_compute_dtype(model, jnp.bfloat16)
+            LOGGER.info("mixed precision: bf16 compute on %d modules (fp32 master weights)", n)
 
         @nnx.jit
         def _train_step(model, optimizer, inputs, targets, step):
             def loss_fn(m):
-                outputs = m(inputs)
+                outputs = _cast_floats(m(inputs), jnp.float32)
                 losses = criterion_fn(outputs, targets, step)
                 return _sum_losses(losses), losses
 

@@ -281,3 +281,74 @@ def test_gan_spmd_data_parallel():
     for _ in range(10):
         last = gan.training_step({"x": x, "y": x * 0.5})
     assert last["gen/rec"] < first["gen/rec"]
+
+
+# ------------------------------------------------------------------ mixed precision / grad accum
+
+
+def test_bf16_trainer_converges():
+    """Mixed-precision step: fp32 master weights, bf16 compute; loss must
+    still converge and weights must remain fp32."""
+    model = TinyModel()
+    tr = Trainer(model, _criterion, _batch_proc, OptimizerConfig(lr=3e-3),
+                 TrainerConfig(max_steps=100, mixed_precision=True))
+    loader = SyntheticLoader()
+    first = tr.training_step(loader.next_batch())
+    for _ in range(60):
+        last = tr.training_step(loader.next_batch())
+    assert last["mse"] < first["mse"] * 0.5
+    assert model.l1.kernel[...].dtype == jnp.float32
+
+
+def test_grad_accum_steps_every_k():
+    """With grad_accum=4, params change only on every 4th micro-batch and the
+    accumulated update approximates one big-batch step."""
+    loader = SyntheticLoader(n=4)
+    batches = [loader.next_batch() for _ in range(4)]
+
+    model = TinyModel(rngs=nnx.Rngs(7))
+    tr = Trainer(model, _criterion, _batch_proc,
+                 OptimizerConfig(lr=1e-2, grad_accum=4, grad_clip=None),
+                 TrainerConfig(max_steps=100))
+    w0 = np.asarray(model.l1.kernel[...]).copy()
+    for i, b in enumerate(batches):
+        tr.training_step(b)
+        changed = not np.allclose(np.asarray(model.l1.kernel[...]), w0)
+        assert changed == (i == 3), f"params changed at micro-step {i}"
+    w_accum = np.asarray(model.l1.kernel[...]).copy()
+
+    # one step on the concatenated big batch with the same init
+    model2 = TinyModel(rngs=nnx.Rngs(7))
+    tr2 = Trainer(model2, _criterion, _batch_proc,
+                  OptimizerConfig(lr=1e-2, grad_clip=None),
+                  TrainerConfig(max_steps=100))
+    big = {k: np.concatenate([b[k] for b in batches]) for k in batches[0]}
+    tr2.training_step(big)
+    w_big = np.asarray(model2.l1.kernel[...])
+    assert np.abs(w_accum - w_big).max() < 5e-4
+
+
+def test_bf16_gan_step():
+    def gen_crit(gen_out, disc, inputs, targets, step):
+        return {"adv": jnp.mean((disc(gen_out) - 1.0) ** 2),
+                "rec": jnp.mean((gen_out - targets["y"]) ** 2)}
+
+    def disc_crit(gen_out, disc, inputs, targets, step):
+        return {"real": jnp.mean((disc(targets["y"]) - 1.0) ** 2),
+                "fake": jnp.mean(disc(gen_out) ** 2)}
+
+    gan = GANTrainer(TinyGen(), TinyDisc(), gen_crit, disc_crit,
+                     lambda b: ({"x": b["x"]}, {"y": b["y"]}),
+                     gen_optimizer=OptimizerConfig(lr=5e-3),
+                     disc_optimizer=OptimizerConfig(lr=5e-3),
+                     config=TrainerConfig(max_steps=10, mixed_precision=True))
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 8)).astype(np.float32)
+    batch = {"x": x, "y": x * 0.5}
+    first = last = None
+    for _ in range(60):
+        m = gan.training_step(batch)
+        first = first or m
+        last = m
+    assert last["gen/rec"] < first["gen/rec"]
+    assert gan.generator.l.kernel[...].dtype == jnp.float32
