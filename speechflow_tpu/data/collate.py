@@ -154,9 +154,14 @@ class TTSCollate(SpectrogramCollate):
 
         dur, _ = _opt_stack(samples, "durations", target_len=n_tok)
         out.durations = dur
-        for attr in ("aggregate_pitch", "aggregate_energy", "prosody", "ling_feat", "lm_feat"):
+        for attr in ("aggregate_pitch", "aggregate_energy", "ling_feat", "lm_feat"):
             arr, _ = _opt_stack(samples, attr, target_len=n_tok)
             setattr(out, attr, arr)
+        # prosody pads with -1 = "undefined" class, not class 0
+        vals = [getattr(s, "prosody", None) for s in samples]
+        if all(v is not None for v in vals):
+            pros, _ = stack_and_pad(vals, pad_value=-1, target_len=n_tok)
+            out.prosody = pros.astype(np.int32)
         # SSML modifiers live in ds.additional (token-level factors)
         for key in ("pitch_modifier", "volume_modifier", "rate_modifier"):
             vals = [s.additional.get(key) for s in samples]

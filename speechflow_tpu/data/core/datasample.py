@@ -131,6 +131,15 @@ class TTSDataSample(SpectrogramDataSample):
     word_lengths: tp.Optional[np.ndarray] = None        # tokens per word
     prosody: tp.Optional[np.ndarray] = None             # (N,) prosody class per token
     intonation_type: tp.Optional[str] = None
+    # word-level parser tiers from TextGridStage3 (producers for ling_feat;
+    # reference keeps these on the Doc/Token objects)
+    pos_tags: tp.Optional[tp.List[str]] = None
+    syntax_rels: tp.Optional[tp.List[str]] = None
+    word_ids: tp.Optional[tp.List[str]] = None
+    head_ids: tp.Optional[tp.List[str]] = None
+    emphasis_labels: tp.Optional[tp.List[str]] = None
+    prosody_labels: tp.Optional[tp.List[str]] = None
+    syntagma_ids: tp.Optional[tp.List[int]] = None
 
     @property
     def n_tokens(self) -> int:

@@ -95,6 +95,15 @@ class TTSDSParser(BaseDSParser):
             word_timestamps=Timestamps(np.asarray([[b, e] for b, e, _ in words]))
             if words else None,
             intonation_type="." if not seg.text_ends_with("?") else "?",
+            # word-level parser tiers (real POS/syntax/emphasis/prosody from
+            # the text parser, carried in TextGridStage3) feed add_ling_feat
+            pos_tags=seg.word_tier_labels("pos"),
+            syntax_rels=seg.word_tier_labels("rel"),
+            word_ids=seg.word_tier_labels("id"),
+            head_ids=seg.word_tier_labels("head_id"),
+            emphasis_labels=seg.word_tier_labels("emphasis"),
+            prosody_labels=seg.word_tier_labels("prosody"),
+            syntagma_ids=seg.word_syntagma_ids(),
         )
         return ds
 

@@ -283,6 +283,46 @@ class AudioSeg:
     def phonemes(self) -> tp.List[Interval]:
         return self.grid["phonemes"].intervals if "phonemes" in self.grid else []
 
+    def word_tier_labels(self, name: str) -> tp.Optional[tp.List[str]]:
+        """Labels of a word-aligned tier (pos/rel/id/head_id/emphasis/prosody)
+        at the word positions — the indices where the ``text`` tier is
+        non-empty (all word-level tiers share the text tier's segmentation in
+        reference segas)."""
+        if name not in self.grid or "text" not in self.grid:
+            return None
+        text_ivs = self.grid["text"].intervals
+        tier_ivs = self.grid[name].intervals
+        if len(tier_ivs) != len(text_ivs):
+            # fall back to timestamp matching against the word midpoints
+            words = self.words()
+            out = []
+            for b, e, _ in words:
+                mid = 0.5 * (b + e)
+                lab = ""
+                for tb, te, tl in tier_ivs:
+                    if tb - 1e-6 <= mid <= te + 1e-6:
+                        lab = tl
+                        break
+                out.append(lab)
+            return out
+        return [tier_ivs[i][2] for i, iv in enumerate(text_ivs) if iv[2]]
+
+    def word_syntagma_ids(self) -> tp.Optional[tp.List[int]]:
+        """Syntagma index per word (by word midpoint containment)."""
+        if "syntagmas" not in self.grid:
+            return None
+        synt = self.grid["syntagmas"].non_empty().intervals
+        out = []
+        for b, e, _ in self.words():
+            mid = 0.5 * (b + e)
+            idx = 0
+            for j, (sb, se, _) in enumerate(synt):
+                if sb - 1e-6 <= mid <= se + 1e-6:
+                    idx = j
+                    break
+            out.append(idx)
+        return out
+
     def phoneme_labels(self) -> tp.List[str]:
         return [lab for _, _, lab in self.phonemes()]
 

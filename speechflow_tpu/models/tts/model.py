@@ -52,7 +52,11 @@ class ParallelTTSParams(BaseModelParams):
     speaker_bio_dim: int = 192
     lang_emb_dim: int = 32
     use_ling_feat: bool = False
-    ling_feat_dim: int = 32
+    ling_feat_dim: int = 56              # ling.LING_FEAT_DIM (pos/punct/syntax/emphasis/...)
+    use_lm_feat: bool = False
+    lm_feat_dim: int = 32                # ling.LM_FEAT_DIM (word embeddings)
+    use_prosody: bool = False
+    n_prosody_classes: int = 16          # prosody contour classes (+1 for undefined)
 
     # style (reference-mel VAE)
     use_style_encoder: bool = False
@@ -102,6 +106,12 @@ class ParallelTTSModel(nnx.Module):
         content_dim = p.token_emb_dim
         if p.use_ling_feat:
             self.ling_proj = nnx.Linear(p.ling_feat_dim, p.token_emb_dim, rngs=rngs)
+        if p.use_lm_feat:
+            self.lm_proj = nnx.Linear(p.lm_feat_dim, p.token_emb_dim, rngs=rngs)
+        if p.use_prosody:
+            # class 0 = undefined (-1 shifted by 1); reference folds prosody
+            # contour tokens into its alphabet (tts_text_processors.py:111)
+            self.prosody_emb = nnx.Embed(p.n_prosody_classes + 1, p.token_emb_dim, rngs=rngs)
 
         cond_dim = 0
         if p.speaker_emb_mode == "table":
@@ -210,6 +220,11 @@ class ParallelTTSModel(nnx.Module):
         x = self.token_emb(inputs.transcription)
         if p.use_ling_feat and inputs.ling_feat is not None:
             x = x + self.ling_proj(inputs.ling_feat)
+        if p.use_lm_feat and inputs.lm_feat is not None:
+            x = x + self.lm_proj(inputs.lm_feat)
+        if p.use_prosody and inputs.prosody is not None:
+            cls = jnp.clip(inputs.prosody + 1, 0, p.n_prosody_classes)
+            x = x + self.prosody_emb(cls)
 
         cond = self._global_condition(inputs, training, losses)
         x = self._cond(0, x, cond)
