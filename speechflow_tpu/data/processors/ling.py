@@ -227,6 +227,10 @@ def _expand(word_feats: np.ndarray, word_map: np.ndarray,
     n = len(phonemes)
     out = np.zeros((n, LING_FEAT_DIM), np.float32)
     for i, w in enumerate(word_map):
+        if phonemes[i] in (SIL, "", None):
+            out[i, 0] = 1.0
+            out[i, _BREATH] = -3.0 / 10.0
+            continue
         if w >= 0 and w < len(word_feats):
             out[i] = word_feats[w]
             if i == 0 or word_map[i - 1] != w:
@@ -272,6 +276,8 @@ def add_ling_feat(ds: TTSDataSample, use_rule_tagger_fallback: bool = True) -> T
     Uses the parser tiers carried on the datasample when present (training);
     falls back to the rule tagger over the word labels otherwise.
     """
+    if ds.phoneme_timestamps is None or ds.word_timestamps is None:
+        return ds  # raw-text inference: the eval interface computes features inline
     words = ds.text.split() if ds.text else []
     pos_tags = getattr(ds, "pos_tags", None)
     if pos_tags is None and not use_rule_tagger_fallback:
@@ -359,6 +365,8 @@ def lm_feat_for_words(words: tp.Sequence[str]) -> np.ndarray:
 
 @handler(inputs={"phonemes", "transcription"}, outputs={"lm_feat"})
 def add_lm_feat(ds: TTSDataSample) -> TTSDataSample:
+    if ds.phoneme_timestamps is None or ds.word_timestamps is None:
+        return ds  # raw-text inference: the eval interface computes features inline
     words = ds.text.split() if ds.text else []
     wf = lm_feat_for_words(words)
     word_map = _phoneme_word_map(ds)

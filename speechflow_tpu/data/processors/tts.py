@@ -21,6 +21,70 @@ from speechflow_tpu.io import Timestamps
 __all__ = []
 
 
+@handler(inputs={"phonemes"}, outputs={"phonemes"}, optional={"word_timestamps"})
+def add_pauses_from_text(
+    ds: TTSDataSample, level: str = "words", begin_end_pauses: bool = True
+) -> TTSDataSample:
+    """Insert SIL tokens from the *text*: after every word whose label ends
+    with punctuation (level="punctuation") or between all words
+    (level="words"), plus BOS/EOS pauses. This is the stage-1 forced-alignment
+    recipe, where no reliable timestamps exist yet
+    (reference: tts_processors.py:110, SURVEY §A.3).
+
+    Operates on word-grouped phonemes: requires word_timestamps to group the
+    phoneme stream (training) or ds.word_lengths (inference).
+    """
+    if ds.phonemes is None:
+        return ds
+    # group phonemes by word
+    groups: tp.List[tp.List[str]] = []
+    if ds.word_timestamps is not None and ds.phoneme_timestamps is not None:
+        wts = np.asarray(ds.word_timestamps.intervals, np.float64)
+        cur = -2
+        for (b, e), lab in zip(ds.phoneme_timestamps, ds.phonemes):
+            mid = 0.5 * (b + e)
+            hits = np.nonzero((wts[:, 0] - 1e-6 <= mid) & (mid <= wts[:, 1] + 1e-6))[0]
+            w = int(hits[0]) if len(hits) else -1
+            if w != cur or not groups:
+                groups.append([])
+                cur = w
+            groups[-1].append(lab)
+    elif ds.word_lengths is not None:
+        pos = 0
+        for n in ds.word_lengths:
+            groups.append(list(ds.phonemes[pos:pos + int(n)]))
+            pos += int(n)
+    else:
+        groups = [[p] for p in ds.phonemes]
+
+    words = ds.text.split() if ds.text else [""] * len(groups)
+    out: tp.List[str] = []
+    if begin_end_pauses:
+        out.append(SIL)
+    wi = 0
+    for g in groups:
+        is_word = any(p not in (SIL, "", None) for p in g)
+        out.extend(p if p not in ("", None) else SIL for p in g)
+        if is_word:
+            word = words[wi] if wi < len(words) else ""
+            wi += 1
+            trailing_punct = word and not word[-1].isalnum()
+            if (level == "words" or trailing_punct) and (out and out[-1] != SIL):
+                out.append(SIL)
+    if begin_end_pauses and out and out[-1] != SIL:
+        out.append(SIL)
+    # collapse duplicate SILs
+    collapsed: tp.List[str] = []
+    for p in out:
+        if p == SIL and collapsed and collapsed[-1] == SIL:
+            continue
+        collapsed.append(p)
+    ds.phonemes = collapsed
+    # timestamps no longer align after insertion; stage-1 training learns them
+    ds.phoneme_timestamps = None
+    return ds
+
+
 @handler(inputs={"phonemes", "phoneme_timestamps"}, outputs={"phonemes", "phoneme_timestamps"})
 def add_pauses_from_timestamps(
     ds: TTSDataSample, min_len: float = 0.03, merge_short: bool = True

@@ -1,4 +1,12 @@
-from speechflow_tpu.interface.tts_interface import TTSEvaluationInterface, TTSContext, TTSOptions
+from speechflow_tpu.interface.tts_interface import (
+    ProsodyReference,
+    TTSContext,
+    TTSEvaluationInterface,
+    TTSOptions,
+)
 from speechflow_tpu.interface.vocoder_interface import VocoderEvaluationInterface
 
-__all__ = ["TTSEvaluationInterface", "TTSContext", "TTSOptions", "VocoderEvaluationInterface"]
+__all__ = [
+    "TTSEvaluationInterface", "TTSContext", "TTSOptions", "ProsodyReference",
+    "VocoderEvaluationInterface",
+]

@@ -211,7 +211,8 @@ class ParallelTTSModel(nnx.Module):
     # -- forward ------------------------------------------------------------------
 
     def __call__(self, inputs: TTSForwardInput, training: bool = True,
-                 t_out: tp.Optional[int] = None) -> TTSOutput:
+                 t_out: tp.Optional[int] = None,
+                 cfm_timesteps: tp.Optional[int] = None) -> TTSOutput:
         p = self.p
         losses: tp.Dict[str, jnp.ndarray] = {}
         extra: tp.Dict[str, jnp.ndarray] = {}
@@ -248,7 +249,8 @@ class ParallelTTSModel(nnx.Module):
                 losses.update(cfm_losses)
                 dec_out = mu
             else:
-                mu, dec_out = self.decoder.generate(x, out_lengths, cond)
+                mu, dec_out = self.decoder.generate(x, out_lengths, cond,
+                                                    n_timesteps=cfm_timesteps)
                 extra["cfm_prior"] = mu
         elif p.decoder_type == "taco":
             # attention-AR decoder over the (regulated) content as memory;
@@ -284,5 +286,6 @@ class ParallelTTSModel(nnx.Module):
             additional_losses=losses,
         )
 
-    def inference(self, inputs: TTSForwardInput, t_out: tp.Optional[int] = None) -> TTSOutput:
-        return self(inputs, training=False, t_out=t_out)
+    def inference(self, inputs: TTSForwardInput, t_out: tp.Optional[int] = None,
+                  cfm_timesteps: tp.Optional[int] = None) -> TTSOutput:
+        return self(inputs, training=False, t_out=t_out, cfm_timesteps=cfm_timesteps)

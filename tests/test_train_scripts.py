@@ -61,19 +61,26 @@ def test_tts_train_and_eval_interface(tts_experiment):
     assert mel.shape[0] == 2  # two sentences
 
 
-def test_vocoder_train_and_eval_interface(tmp_path):
+@pytest.fixture(scope="module")
+def vocoder_experiment(tmp_path_factory):
     from speechflow_tpu.io import Config
     from speechflow_tpu.scripts import train_vocoder
-    from speechflow_tpu.interface import VocoderEvaluationInterface
-    from speechflow_tpu.training import ExperimentSaver
 
+    tmp_path = tmp_path_factory.mktemp("voc_exp")
     cfg = Config.create_from_file(CFG / "vocoder_model.yml", value_select=["debug"])
     cfg.set_path("experiment.base_dir", str(tmp_path))
     mpath = tmp_path / "vocoder_model.yml"
     cfg.to_file(mpath)
     exp = train_vocoder.main(["-c", str(mpath), "-cd", str(CFG / "vocoder_data_24khz.yml"),
                               "-vs", "debug", "--data_root", MINI])
-    ckpt = ExperimentSaver.get_last_checkpoint(exp)
+    return Path(exp)
+
+
+def test_vocoder_train_and_eval_interface(vocoder_experiment):
+    from speechflow_tpu.interface import VocoderEvaluationInterface
+    from speechflow_tpu.training import ExperimentSaver
+
+    ckpt = ExperimentSaver.get_last_checkpoint(vocoder_experiment)
     iface = VocoderEvaluationInterface(ckpt)
     mel = np.random.default_rng(0).normal(size=(33, 80)).astype(np.float32)
     audio = iface.synthesize(mel)
@@ -85,6 +92,86 @@ def test_vocoder_train_and_eval_interface(tmp_path):
     wav = AudioChunk(data=np.random.default_rng(1).uniform(-0.3, 0.3, 24000).astype(np.float32), sr=24000)
     out = iface.resynthesize(wav)
     assert len(out) > 20000
+
+
+def test_full_synthesis_chain_from_checkpoints(tts_experiment, vocoder_experiment, tmp_path):
+    """The reference inference call chain (SURVEY §3.3), from checkpoints
+    alone: text -> pauses -> prosody -> embeddings (reference audio through
+    the biometric pipe) -> mel -> vocoder -> waveform; plus resynthesize."""
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.scripts import train_prosody
+    from speechflow_tpu.interface import (
+        TTSEvaluationInterface,
+        TTSOptions,
+        VocoderEvaluationInterface,
+    )
+    from speechflow_tpu.training import ExperimentSaver
+
+    # tiny prosody model checkpoint
+    pcfg = Config.create_from_file(CFG / "prosody_model.yml", value_select=["debug"])
+    pcfg.set_path("experiment.base_dir", str(tmp_path))
+    ppath = tmp_path / "prosody_model.yml"
+    pcfg.to_file(ppath)
+    prosody_exp = train_prosody.main(["-c", str(ppath), "-cd", str(CFG / "tts_data_24khz.yml"),
+                                      "-vs", "debug", "--data_root", MINI])
+    prosody_ckpt = ExperimentSaver.get_last_checkpoint(prosody_exp)
+
+    tts = TTSEvaluationInterface(ExperimentSaver.get_last_checkpoint(tts_experiment),
+                                 prosody_ckpt=prosody_ckpt)
+    voc = VocoderEvaluationInterface(ExperimentSaver.get_last_checkpoint(vocoder_experiment))
+    assert tts.prosody_interface is not None
+
+    ref_wav = (Path(MINI).parent / "SRC/EN/OPENSOURCE_VOICES/001_LJSpeech/"
+               "LJSpeech-1.1/wavs/LJ001-0002.wav")
+    opts = TTSOptions(t_out=128, cfm_timesteps=2)
+    out = tts.synthesize("Hello world, this is a test.", lang="EN",
+                         speaker=tts.get_speakers()[0],
+                         ref_audio=ref_wav, opts=opts)
+    mel = np.asarray(out.after_postnet_spectrogram)
+    assert mel.ndim == 3 and np.isfinite(mel).all()
+    audio = voc.synthesize(mel[0])
+    assert len(audio) > 0 and np.isfinite(audio.waveform).all()
+    assert float(np.abs(audio.waveform).max()) > 0.0  # non-silent
+
+    # hours filter uses DatasetStatistics from the checkpoint
+    assert tts.get_speakers(hours_per_speaker=1e9) == []
+
+    # resynthesize: annotated utterance -> full pipeline -> model
+    sega = next(Path(MINI).rglob("*.TextGridStage3"))
+    res = tts.resynthesize(sega, ref_audio=ref_wav)
+    rmel = np.asarray(res.after_postnet_spectrogram)
+    assert rmel.ndim == 3 and np.isfinite(rmel).all()
+
+
+def test_cfm_timesteps_knob():
+    """cfm_timesteps must actually change the CFM Euler loop (was a dead knob)."""
+    from flax import nnx
+    import jax.numpy as jnp
+
+    from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
+    from speechflow_tpu.models.tts.data_types import TTSForwardInput
+
+    params = ParallelTTSParams.create(
+        n_symbols=40, n_speakers=2, n_mels=20, token_emb_dim=32, encoder_dim=32,
+        encoder_layers=1, decoder_type="cfm", decoder_dim=32, decoder_layers=1,
+        cfm_n_timesteps=4, speaker_emb_dim=16, postnet_dim=32, max_output_length=32)
+    rng = np.random.default_rng(0)
+    inputs = TTSForwardInput(
+        transcription=jnp.asarray(rng.integers(1, 40, (1, 8)), jnp.int32),
+        transcription_lengths=jnp.asarray([8], jnp.int32),
+        speaker_id=jnp.zeros((1,), jnp.int32),
+        durations=jnp.full((1, 8), 4.0),
+    )
+
+    def run(steps):
+        # fresh model per run: identical weights AND identical RNG stream, so
+        # the only varying factor is the step-count knob
+        model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+        return np.asarray(model.inference(inputs, t_out=32, cfm_timesteps=steps).spectrogram)
+
+    a1, a2, b = run(1), run(1), run(8)
+    assert np.allclose(a1, a2)      # deterministic baseline
+    assert not np.allclose(a1, b)   # the knob changes the Euler loop
 
 
 def test_aligner_train_script(tmp_path):
