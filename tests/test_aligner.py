@@ -83,6 +83,7 @@ def _synthetic_aligned_batch(rng, b=4):
     return inputs, targets, durs
 
 
+@pytest.mark.slow
 def test_aligner_trains_and_aligns(rng):
     """MLE training on synthetic data: MAS durations approach ground truth."""
     params = GlowTTSParams.create(n_symbols=12, n_mels=MELS, encoder_dim=48,

@@ -11,7 +11,7 @@ import pytest
 
 SRC = "/root/reference/examples/simple_datasets/speech/SRC/EN/OPENSOURCE_VOICES/001_LJSpeech/LJSpeech-1.1/wavs"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(SRC), reason="reference SRC unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(SRC), reason="reference SRC unavailable")]
 
 
 def test_align_words_exact_and_fuzzy():

@@ -19,6 +19,7 @@ def _tone_batch(rng, b=2, t=2048):
     return (np.stack(wavs) + 0.01 * rng.normal(size=(b, t))).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_codec_shapes_and_roundtrip(rng):
     p = CodecParams(channels=16, latent_dim=32, strides=(4, 4, 8),
                     n_quantizers=3, codebook_size=64)
@@ -34,6 +35,7 @@ def test_codec_shapes_and_roundtrip(rng):
     assert dec.shape[1] >= wav.shape[1] - 128
 
 
+@pytest.mark.slow
 def test_codec_trains(rng):
     p = CodecParams(channels=24, latent_dim=32, strides=(4, 4, 8),
                     n_quantizers=2, codebook_size=64)
@@ -59,6 +61,7 @@ def test_codec_trains(rng):
     assert last["l1"] < first["l1"] * 0.7, (first["l1"], last["l1"])
 
 
+@pytest.mark.slow
 def test_retention_gpt_overfits(rng):
     import optax
 
@@ -83,6 +86,7 @@ def test_retention_gpt_overfits(rng):
     assert last < first * 0.5, (first, last)
 
 
+@pytest.mark.slow
 def test_codec_feeds_gpt(rng):
     """XTTS path: waveform -> RVQ codes -> GPT teacher-forced loss."""
     from speechflow_tpu.models.tts.ar_decoders import GPTDecoder
@@ -100,6 +104,7 @@ def test_codec_feeds_gpt(rng):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_xtts_model_end_to_end(rng):
     """Text -> GPT-over-codes -> codec decode; training loss decreases."""
     import optax
@@ -139,6 +144,7 @@ def test_xtts_model_end_to_end(rng):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+@pytest.mark.slow
 def test_denoiser(rng):
     from speechflow_tpu.models.vocoder import Vocos, VocosParams
     from speechflow_tpu.models.vocoder.denoiser import Denoiser

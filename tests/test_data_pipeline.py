@@ -154,6 +154,7 @@ def test_pipeline_builds(pipeline):
     assert info["alphabet"]["symbols"][0] == "<PAD>"
 
 
+@pytest.mark.slow
 def test_pipeline_batch(pipeline):
     comp = pipeline["train"]
     batch = comp.sample_batch(2)

@@ -13,6 +13,8 @@ from speechflow_tpu.data.core.components import DataPipeline
 from speechflow_tpu.io import Config
 from speechflow_tpu.server import init_data_loader
 
+pytestmark = pytest.mark.slow
+
 N_SAMPLES = 60
 BATCH = 8
 

@@ -6,6 +6,8 @@ import pytest
 from speechflow_tpu.data.core.datasample import SpectrogramDataSample, TTSDataSample
 from speechflow_tpu.io import AudioChunk
 
+pytestmark = pytest.mark.slow
+
 
 def _ds(rng, sr=24000, dur=1.0):
     t = np.arange(int(sr * dur)) / sr

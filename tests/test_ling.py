@@ -161,6 +161,7 @@ def test_ling_feat_reaches_model(mini_dataset_path):
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow
 def test_ling_feat_through_pipeline(mini_dataset_path):
     """Full config-driven pipeline produces collated ling_feat/prosody."""
     from pathlib import Path

@@ -28,6 +28,7 @@ def test_taco_decoder_teacher_and_generate(rng):
     assert gen_frames.shape == (B, 16, MELS)
 
 
+@pytest.mark.slow
 def test_taco_in_parallel_tts(rng):
     from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
     from tests.test_tts_model import _inputs
@@ -43,6 +44,7 @@ def test_taco_in_parallel_tts(rng):
     assert "taco_attention" in out.additional_content
 
 
+@pytest.mark.slow
 def test_gpt_decoder_overfits(rng):
     from speechflow_tpu.models.tts.ar_decoders import GPTDecoder
 
@@ -70,6 +72,7 @@ def test_gpt_decoder_overfits(rng):
     assert toks.shape == (B, 10)
 
 
+@pytest.mark.slow
 def test_gpt_kv_cache_parity(rng):
     """KV-cached generate must reproduce the O(T^2) full-trunk path exactly
     (greedy), for both attention and retention blocks, with and without cond."""
@@ -87,6 +90,7 @@ def test_gpt_kv_cache_parity(rng):
             assert np.array_equal(np.asarray(fast), np.asarray(slow)), block_type
 
 
+@pytest.mark.slow
 def test_nsf_head(rng):
     from speechflow_tpu.models.vocoder.nsf import NSFHiFiGANHead, NSFiSTFTHead, SineGen
 
@@ -108,6 +112,7 @@ def test_nsf_head(rng):
     assert wav2.shape[0] == 1 and np.isfinite(np.asarray(wav2)).all()
 
 
+@pytest.mark.slow
 def test_extra_discriminators(rng):
     from speechflow_tpu.models.vocoder.extra_discriminators import (
         MultiBandDiscriminator,
@@ -151,6 +156,7 @@ def test_vocoder_metrics(rng):
     assert si_snr(fake_diff, real) < 0
 
 
+@pytest.mark.slow
 def test_prosody_model_and_eer(rng):
     from speechflow_tpu.models.prosody import ProsodyCriterion, ProsodyModel, ProsodyParams
     from speechflow_tpu.models.prosody.criterion import eer

@@ -36,6 +36,7 @@ def test_stack_and_pad_uses_native_transparently(rng):
     assert (batch[2, 10:] == 0).all()
 
 
+@pytest.mark.slow
 def test_native_speedup(rng):
     if not native_available():
         pytest.skip("toolchain unavailable")

@@ -104,6 +104,7 @@ def test_mel_to_linear_pinv(rng):
 # ------------------------------------------------------------------ signal
 
 
+@pytest.mark.slow
 def test_preemphasis_inverse(rng):
     wav = jnp.asarray(_rand_wav(rng, 4000))
     pre = ops.preemphasis(wav, 0.97)

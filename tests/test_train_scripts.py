@@ -12,8 +12,9 @@ import pytest
 CFG = Path(__file__).parent.parent / "configs"
 MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(MINI),
-                                reason="reference mini dataset unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not os.path.isdir(MINI),
+                                 reason="reference mini dataset unavailable")]
 
 
 @pytest.fixture(scope="module")

@@ -113,6 +113,7 @@ def test_losses_basic(rng):
     assert np.isfinite(float(ga))
 
 
+@pytest.mark.slow
 def test_soft_dtw_loss(rng):
     a = jnp.asarray(rng.normal(size=(2, 12, 3)).astype(np.float32))
     # identical sequences: near-zero soft-DTW; diverging: larger

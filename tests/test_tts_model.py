@@ -134,6 +134,7 @@ def real_batch():
     return dp, batch
 
 
+@pytest.mark.slow
 def test_overfit_real_batch(real_batch):
     """End-to-end: real TextGrid batch through Trainer; spectral loss halves."""
     dp, batch = real_batch

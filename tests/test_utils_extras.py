@@ -87,6 +87,7 @@ def test_embedding_handlers(rng):
         emb_mod._MODELS.pop("biometric", None)
 
 
+@pytest.mark.slow
 def test_ecapa_embedder(rng):
     import jax.numpy as jnp
 
@@ -155,6 +156,7 @@ def test_tts_features_e2e(rng):
         assert np.isfinite(float(v))
 
 
+@pytest.mark.slow
 def test_e2e_vocoder_gan_step(rng):
     """StyleTTS2-like wiring (SURVEY §A.5): ParallelTTSModel inside the Vocos
     generator; ft_ losses merge into the GAN objective; one GAN step runs."""

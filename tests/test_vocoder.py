@@ -74,6 +74,7 @@ def test_gan_criteria_finite(rng):
     assert float(g["mel"]) > 0
 
 
+@pytest.mark.slow
 def test_vocoder_gan_training_improves(rng):
     """A few dozen GAN steps on a fixed batch must reduce mel reconstruction."""
     p = VocosParams(dim=96, n_layers=3, n_mels=40)
