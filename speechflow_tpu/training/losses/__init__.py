@@ -9,6 +9,9 @@ from speechflow_tpu.training.losses.zoo import (
     InverseSpeakerLoss,
     DurationLoss,
     SoftDTWLoss,
+    DiffSpectralLoss,
+    SSIMLoss,
+    CTCLoss,
     LOSSES,
     build_loss,
 )
@@ -17,5 +20,6 @@ __all__ = [
     "BaseLoss", "LossSchedule",
     "SpectralLoss", "GateLoss", "RegressionLoss", "VAELoss", "MLELoss",
     "GuidedAttentionLoss", "InverseSpeakerLoss", "DurationLoss", "SoftDTWLoss",
+    "DiffSpectralLoss", "SSIMLoss", "CTCLoss",
     "LOSSES", "build_loss",
 ]

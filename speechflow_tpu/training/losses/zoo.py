@@ -19,6 +19,7 @@ from speechflow_tpu.utils.masks import sequence_mask
 __all__ = [
     "SpectralLoss", "GateLoss", "RegressionLoss", "VAELoss", "MLELoss",
     "GuidedAttentionLoss", "InverseSpeakerLoss", "DurationLoss", "SoftDTWLoss",
+    "DiffSpectralLoss", "SSIMLoss", "CTCLoss",
     "LOSSES", "build_loss",
 ]
 
@@ -207,6 +208,116 @@ class SoftDTWLoss(BaseLoss):
         return jnp.mean(final_row[:, -1]) / (tx + ty)
 
 
+class DiffSpectralLoss(SpectralLoss):
+    """Temporal-difference spectral loss (reference: losses/spectral.py
+    DiffSpectral): compares first differences along time so the model is
+    penalised for smearing transients even when the framewise error is low."""
+
+    def compute(self, output: jnp.ndarray, target: jnp.ndarray,
+                lengths: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        d_out = output[:, 1:] - output[:, :-1]
+        d_tgt = target[:, 1:] - target[:, :-1]
+        lengths = None if lengths is None else jnp.maximum(lengths - 1, 0)
+        return super().compute(d_out, d_tgt, lengths)
+
+
+def _ssim_2d(x: jnp.ndarray, y: jnp.ndarray, win: int = 11):
+    """Single-scale SSIM over (B, H, W) images in [0, 1] with a uniform window.
+
+    Uniform (instead of gaussian) windows keep this a pure avg-pool chain that
+    XLA fuses into a handful of reductions on TPU; the ranking behaviour that
+    training cares about is unchanged.
+    """
+    c1, c2 = 0.01**2, 0.03**2
+
+    def pool(a):
+        return jax.lax.reduce_window(
+            a, 0.0, jax.lax.add, (1, win, win), (1, 1, 1), "VALID"
+        ) / (win * win)
+
+    mx, my = pool(x), pool(y)
+    vx = pool(x * x) - mx * mx
+    vy = pool(y * y) - my * my
+    cxy = pool(x * y) - mx * my
+    lum = (2 * mx * my + c1) / (mx * mx + my * my + c1)
+    cs = (2 * cxy + c2) / (vx + vy + c2)
+    return lum * cs, cs
+
+
+class SSIMLoss(BaseLoss):
+    """Multi-scale SSIM on spectrograms (reference: losses/spectral.py SSIM,
+    backed by pytorch_msssim.MS_SSIM with weights [0.1, 0.2, 0.4]).
+
+    Treats the (B, T, C) spectrogram as an image, normalises by the dynamic
+    range [min_value, max_value], computes SSIM at 3 dyadic scales (avg-pool
+    downsampling) and combines with the reference's weights. Returns
+    scale * (1 - msssim)."""
+
+    def __init__(self, min_value: float = -4.0, max_value: float = 4.0, **kwargs):
+        super().__init__(**kwargs)
+        self.min_value = min_value
+        self.max_value = max_value
+        self.weights = (0.1, 0.2, 0.4)
+
+    def compute(self, output: jnp.ndarray, target: jnp.ndarray,
+                lengths: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if lengths is not None:
+            mask = sequence_mask(lengths, output.shape[1])[..., None]
+            output = jnp.where(mask, output, self.min_value)
+            target = jnp.where(mask, target, self.min_value)
+        rng = self.max_value - self.min_value
+        x = jnp.clip((output - self.min_value) / rng, 0.0, 1.0)
+        y = jnp.clip((target - self.min_value) / rng, 0.0, 1.0)
+
+        def down(a):
+            return jax.lax.reduce_window(
+                a, 0.0, jax.lax.add, (1, 2, 2), (1, 2, 2), "VALID"
+            ) / 4.0
+
+        total = jnp.asarray(1.0)
+        ssim_last = jnp.asarray(1.0)
+        for i, w in enumerate(self.weights):
+            if min(x.shape[1], x.shape[2]) < 11:
+                break
+            ssim_map, cs_map = _ssim_2d(x, y)
+            if i == len(self.weights) - 1:
+                ssim_last = jnp.mean(jnp.maximum(ssim_map, 0.0))
+                total = total * ssim_last**w
+            else:
+                total = total * jnp.mean(jnp.maximum(cs_map, 0.0)) ** w
+                x, y = down(x), down(y)
+        return jnp.maximum(1.0 - total, 0.0)
+
+
+class CTCLoss(BaseLoss):
+    """CTC loss for frame-level transcription heads (reference: losses/ctc.py,
+    which wraps torch.nn.functional.ctc_loss). Uses optax's TPU-friendly
+    dense-DP ctc_loss; static shapes, padding expressed as 0/1 masks."""
+
+    def __init__(self, blank_id: int = 0, **kwargs):
+        super().__init__(**kwargs)
+        self.blank_id = blank_id
+
+    def compute(self, output: jnp.ndarray, target: jnp.ndarray,
+                lengths: tp.Optional[jnp.ndarray] = None,
+                target_lengths: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # output: (B, T, V) log-probs/logits; target: (B, U) int labels.
+        b, t, _ = output.shape
+        u = target.shape[1]
+        if lengths is None:
+            logit_pad = jnp.zeros((b, t), jnp.float32)
+        else:
+            logit_pad = 1.0 - sequence_mask(lengths, t).astype(jnp.float32)
+        if target_lengths is None:
+            label_pad = (target == self.blank_id).astype(jnp.float32)
+        else:
+            label_pad = 1.0 - sequence_mask(target_lengths, u).astype(jnp.float32)
+        per_seq = optax.ctc_loss(output, logit_pad, target, label_pad,
+                                 blank_id=self.blank_id)
+        denom = jnp.maximum(jnp.sum(1.0 - label_pad, axis=-1), 1.0)
+        return jnp.mean(per_seq / denom)
+
+
 LOSSES: tp.Dict[str, type] = {
     "Spectral": SpectralLoss,
     "Gate": GateLoss,
@@ -217,6 +328,9 @@ LOSSES: tp.Dict[str, type] = {
     "GuidedAttention": GuidedAttentionLoss,
     "InverseSpeaker": InverseSpeakerLoss,
     "SoftDTW": SoftDTWLoss,
+    "DiffSpectral": DiffSpectralLoss,
+    "SSIM": SSIMLoss,
+    "CTC": CTCLoss,
 }
 
 
