@@ -234,9 +234,10 @@ class ParallelTTSModel(nnx.Module):
 
         if t_out is None:
             t_out = inputs.mel.shape[1] if inputs.mel is not None else p.max_output_length
-        x, out_lengths, var_preds, attn = self.variance_adaptor(
+        x, out_lengths, var_preds, attn, va_losses = self.variance_adaptor(
             x, tok_lens, inputs, t_out, training=training,
             deterministic=not training)
+        losses.update(va_losses)
         if inputs.mel_lengths is not None and training:
             out_lengths = inputs.mel_lengths
         x = self._cond(2, x, cond)

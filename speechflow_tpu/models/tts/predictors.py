@@ -19,7 +19,8 @@ from flax import nnx
 from speechflow_tpu.models.tts.common import ConvStack
 from speechflow_tpu.utils.masks import apply_mask, masked_mean, sequence_mask
 
-__all__ = ["VariancePredictor", "TokenLevelDP", "StyleEncoder", "TTS_VARIANCE_PREDICTORS"]
+__all__ = ["VariancePredictor", "TokenLevelDP", "StyleEncoder",
+           "SignalDiscriminator", "GradTTSFA", "TTS_VARIANCE_PREDICTORS"]
 
 
 class VariancePredictor(nnx.Module):
@@ -106,7 +107,137 @@ class StyleEncoder(nnx.Module):
         return z, (mu, logvar)
 
 
+class SignalDiscriminator(nnx.Module):
+    """Per-position LSGAN discriminator over (context, 1-D signal) pairs.
+
+    Capability parity with the reference SignalDiscriminator
+    (tts/acoustic_models/modules/components/discriminators/
+    signal_discriminator.py:28, used by TokenLevelPredictorWithDiscriminator
+    at tokenlevel_predictor.py:214): a conv trunk encodes the predictor
+    context, the scalar signal (real or predicted variance) is projected and
+    concatenated, and a sigmoid head scores each position. Both LSGAN sides
+    are computed every step inside one jit program — the reference's
+    ``current_iter % freq`` alternation maps onto per-loss ``every_iter``
+    schedules in the criterion, which gate in-jit without retraces."""
+
+    def __init__(self, ctx_dim: int, dim: int = 192, kernel_size: int = 3,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.conv1 = nnx.Conv(ctx_dim, dim, (kernel_size,), padding="SAME", rngs=rngs)
+        self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.conv2 = nnx.Conv(dim, dim, (kernel_size,), padding="SAME", rngs=rngs)
+        self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.signal_proj = nnx.Linear(1, dim, rngs=rngs)
+        self.out_conv1 = nnx.Conv(2 * dim, dim, (kernel_size,), padding="SAME", rngs=rngs)
+        self.out_norm1 = nnx.LayerNorm(dim, rngs=rngs)
+        self.out_conv2 = nnx.Conv(dim, dim, (kernel_size,), padding="SAME", rngs=rngs)
+        self.out_norm2 = nnx.LayerNorm(dim, rngs=rngs)
+        self.head = nnx.Linear(dim, 1, rngs=rngs)
+
+    def _trunk(self, ctx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        h = self.norm1(nnx.relu(self.conv1(ctx * mask)))
+        return self.norm2(nnx.relu(self.conv2(h * mask)))
+
+    def _prob(self, h: jnp.ndarray, signal: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        s = self.signal_proj(signal[..., None])
+        z = jnp.concatenate([h, s], axis=-1)
+        z = self.out_norm1(nnx.relu(self.out_conv1(z * mask)))
+        z = self.out_norm2(nnx.relu(self.out_conv2(z * mask)))
+        return jax.nn.sigmoid(self.head(z)[..., 0])
+
+    def lsgan_losses(self, context: jnp.ndarray, real: jnp.ndarray,
+                     fake: jnp.ndarray, lengths: jnp.ndarray) -> tp.Dict[str, jnp.ndarray]:
+        """Returns {'disc_loss', 'gen_loss'} with the reference's gradient
+        routing: the discriminator side sees detached context/real/fake; the
+        generator side lets gradients flow through context and fake."""
+        sg = jax.lax.stop_gradient
+        mask = sequence_mask(lengths, context.shape[1]).astype(context.dtype)[..., None]
+
+        def mmean(v):
+            return jnp.sum(v * mask[..., 0]) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        h_d = self._trunk(sg(context), mask)
+        p_real = self._prob(h_d, sg(real), mask)
+        p_fake_d = self._prob(h_d, sg(fake), mask)
+        disc = mmean((1.0 - p_real) ** 2) + mmean(p_fake_d**2)
+
+        h_g = self._trunk(context, mask)
+        p_fake_g = self._prob(h_g, fake, mask)
+        gen = mmean((1.0 - p_fake_g) ** 2)
+        return {"disc_loss": disc, "gen_loss": gen}
+
+
+class GradTTSFA(nnx.Module):
+    """In-model forced aligner (reference: tts/acoustic_models/modules/
+    components/forced_alignment/gardtts_fa.py:86 GradTTSFA).
+
+    Learns durations without a pre-run external aligner: a conv text encoder
+    maps content to per-token mel means mu_x; MAS (device lax.scan DP,
+    ops/mas.py) finds the most likely monotonic alignment between mu_x and
+    the target mel under an isotropic Gaussian prior; the alignment yields
+    (a) MAS durations used for length regulation and as supervision for the
+    internal log-duration predictor, and (b) a Gaussian prior loss pulling
+    mu_x toward the aligned mel frames. At inference the duration predictor
+    output exp(logw) is used (logw is trained to log(d + 1e-8))."""
+
+    def __init__(self, dim_in: int, feat_dim: int, dim: int = 256,
+                 dp_dim: int = 256, rngs: nnx.Rngs = None, **kw):
+        rngs = rngs or nnx.Rngs(0)
+        self.encoder = ConvStack(dim_in, dim, dim, n_layers=2, kernel_size=3,
+                                 dropout=0.1, rngs=rngs)
+        self.proj = nnx.Linear(dim, feat_dim, rngs=rngs)
+        self.dp = ConvStack(dim, dp_dim, dp_dim, n_layers=2, kernel_size=3,
+                            dropout=0.1, rngs=rngs)
+        self.dp_out = nnx.Linear(dp_dim, 1, rngs=rngs)
+        self.feat_dim = feat_dim
+
+    def _encode(self, x: jnp.ndarray, deterministic: bool):
+        h = self.encoder(x, deterministic=deterministic)
+        mu_x = self.proj(h)
+        logw = self.dp_out(self.dp(h, deterministic=deterministic))[..., 0]
+        return mu_x, logw
+
+    def predict(self, x: jnp.ndarray, token_lengths: jnp.ndarray,
+                deterministic: bool = True) -> jnp.ndarray:
+        """Inference durations: exp(logw), masked."""
+        _, logw = self._encode(x, deterministic)
+        d = jnp.exp(logw)
+        return apply_mask(d, sequence_mask(token_lengths, d.shape[1]))
+
+    def align(self, x: jnp.ndarray, token_lengths: jnp.ndarray,
+              mel: jnp.ndarray, mel_lengths: jnp.ndarray,
+              deterministic: bool = False):
+        """Training path: MAS durations + (duration, prior) losses."""
+        from speechflow_tpu.ops.mas import maximum_path
+
+        mu_x, logw = self._encode(x, deterministic)
+        c = self.feat_dim
+        # log N(y_t; mu_n, I) as matmuls: -(|y|^2 - 2 mu.y + |mu|^2)/2 + const
+        y_sq = -0.5 * jnp.einsum("btc,btc->bt", mel, mel)[:, None, :]
+        cross = jnp.einsum("bnc,btc->bnt", mu_x, mel)
+        mu_sq = -0.5 * jnp.sum(mu_x**2, axis=-1)[:, :, None]
+        log_prior = y_sq + cross + mu_sq - 0.5 * jnp.log(2 * jnp.pi) * c
+
+        attn = jax.lax.stop_gradient(
+            maximum_path(jax.lax.stop_gradient(log_prior), token_lengths, mel_lengths))
+        dura = jnp.sum(attn, axis=-1)  # (B, N)
+
+        tok_mask = sequence_mask(token_lengths, x.shape[1]).astype(x.dtype)
+        logw_tgt = jnp.log(dura + 1e-8) * tok_mask
+        dura_loss = jnp.sum(jnp.abs(logw * tok_mask - logw_tgt)) / jnp.maximum(
+            jnp.sum(tok_mask), 1.0)
+
+        mu_y = jnp.einsum("bnt,bnc->btc", attn, mu_x)
+        mel_mask = sequence_mask(mel_lengths, mel.shape[1]).astype(x.dtype)[..., None]
+        prior = jnp.sum(0.5 * ((mel - mu_y) ** 2 + jnp.log(2 * jnp.pi)) * mel_mask)
+        prior_loss = prior / jnp.maximum(jnp.sum(mel_mask) * c, 1.0)
+
+        return dura, attn, {"fa_duration": dura_loss, "fa_prior": prior_loss}
+
+
 TTS_VARIANCE_PREDICTORS: tp.Dict[str, type] = {
     "variance": VariancePredictor,
     "token_level_dp": TokenLevelDP,
+    "signal_discriminator": SignalDiscriminator,
+    "gradtts_fa": GradTTSFA,
 }

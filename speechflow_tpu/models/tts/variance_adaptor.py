@@ -9,6 +9,14 @@ prediction at inference) and triggers **length regulation** of the content
 are predicted per token, teacher-forced at train time, optionally embedded
 via VarianceEmbedding, and concatenated to or overwriting the content.
 Predictions are returned for the regression losses.
+
+Two reference predictor variants are config flags here:
+``use_discriminator`` attaches a per-variance SignalDiscriminator
+(tokenlevel_predictor.py:214 TokenLevelPredictorWithDiscriminator) whose
+LSGAN losses flow out through the adaptor's losses dict; for durations,
+``use_gradtts_fa`` replaces the external-aligner teacher with the in-model
+GradTTS forced aligner (gardtts_fa.py:86) — MAS durations drive length
+regulation at train time and the internal predictor drives inference.
 """
 
 from __future__ import annotations
@@ -20,7 +28,12 @@ import jax.numpy as jnp
 from flax import nnx
 
 from speechflow_tpu.models.tts.common import VarianceEmbedding
-from speechflow_tpu.models.tts.predictors import TokenLevelDP, VariancePredictor
+from speechflow_tpu.models.tts.predictors import (
+    GradTTSFA,
+    SignalDiscriminator,
+    TokenLevelDP,
+    VariancePredictor,
+)
 from speechflow_tpu.ops import length_regulate_hard, length_regulate_soft
 
 __all__ = ["VarianceConfig", "HierarchicalVarianceAdaptor"]
@@ -42,6 +55,14 @@ class VarianceConfig:
     emb_dim: int = 64
     cat_to_content: bool = True
     log_scale_embedding: bool = False
+    # adversarial predictor variant (reference: tokenlevel_predictor.py:214
+    # TokenLevelPredictorWithDiscriminator)
+    use_discriminator: bool = False
+    disc_dim: int = 192
+    # in-model forced alignment for durations (reference: gardtts_fa.py:86)
+    use_gradtts_fa: bool = False
+    fa_feat_dim: int = 100            # audio feature dim MAS aligns against (n_mels)
+    fa_dim: int = 256
 
 
 class HierarchicalVarianceAdaptor(nnx.Module):
@@ -56,13 +77,21 @@ class HierarchicalVarianceAdaptor(nnx.Module):
 
         self.predictors = nnx.Dict({})
         self.embeddings = nnx.Dict({})
+        self.discriminators = nnx.Dict({})
         cur_dim = dim
         for v in self.variances:
             if v.name == "durations":
-                self.predictors[v.name] = TokenLevelDP(cur_dim, v.dim, rngs=rngs)
+                if v.use_gradtts_fa:
+                    self.predictors[v.name] = GradTTSFA(
+                        cur_dim, v.fa_feat_dim, v.fa_dim, rngs=rngs)
+                else:
+                    self.predictors[v.name] = TokenLevelDP(cur_dim, v.dim, rngs=rngs)
             else:
                 self.predictors[v.name] = VariancePredictor(
                     cur_dim, v.dim, v.n_layers, v.kernel_size, v.dropout, rngs=rngs)
+                if v.use_discriminator:
+                    self.discriminators[v.name] = SignalDiscriminator(
+                        cur_dim, v.disc_dim, rngs=rngs)
                 if v.cat_to_content:
                     if v.as_embedding:
                         self.embeddings[v.name] = VarianceEmbedding(
@@ -85,6 +114,7 @@ class HierarchicalVarianceAdaptor(nnx.Module):
         import jax
 
         predictions: tp.Dict[str, jnp.ndarray] = {}
+        losses: tp.Dict[str, jnp.ndarray] = {}
         x = content
 
         # SSML modifiers multiply the conditioning values (SURVEY §A.1 step 3:
@@ -102,6 +132,10 @@ class HierarchicalVarianceAdaptor(nnx.Module):
             pred = self.predictors[v.name](inp, token_lengths, deterministic=deterministic)
             predictions[v.name] = pred
             target = inputs.get(v.target or v.name)
+            if v.use_discriminator and training and target is not None:
+                d_losses = self.discriminators[v.name].lsgan_losses(
+                    inp, target, pred, token_lengths)
+                losses.update({f"{v.name}_{k}": lv for k, lv in d_losses.items()})
             value = target if (training and v.use_target and target is not None) \
                 else jax.lax.stop_gradient(pred)
             mod = modifiers.get(v.name)
@@ -118,7 +152,29 @@ class HierarchicalVarianceAdaptor(nnx.Module):
         dur_cfg = next((v for v in self.variances if v.name == "durations"), None)
         attn = None
         out_lengths = token_lengths
-        if dur_cfg is not None:
+        if dur_cfg is not None and dur_cfg.use_gradtts_fa:
+            fa: GradTTSFA = self.predictors["durations"]
+            fa_in = jax.lax.stop_gradient(x) if dur_cfg.detach_input else x
+            mel = inputs.get("mel")
+            if training and mel is not None:
+                durations, _, fa_losses = fa.align(
+                    fa_in, token_lengths, mel, inputs.get("mel_lengths"),
+                    deterministic=deterministic)
+                losses.update(fa_losses)
+                predictions["durations_fa"] = durations  # MAS durations (frames)
+            else:
+                durations = fa.predict(fa_in, token_lengths,
+                                       deterministic=deterministic)
+                rate = inputs.get("rate_modifier")
+                if rate is not None:
+                    durations = durations / jnp.maximum(rate, 1e-3)
+                durations = jnp.round(durations)
+            if self.soft_lr:
+                x, attn = length_regulate_soft(x, durations, t_out)
+            else:
+                x, attn = length_regulate_hard(x, durations, t_out)
+            out_lengths = jnp.clip(durations.sum(axis=-1), 1, t_out).astype(jnp.int32)
+        elif dur_cfg is not None:
             log_d = self.predictors["durations"](
                 jax.lax.stop_gradient(x) if dur_cfg.detach_input else x,
                 token_lengths, deterministic=deterministic)
@@ -139,4 +195,4 @@ class HierarchicalVarianceAdaptor(nnx.Module):
                 x, attn = length_regulate_hard(x, durations, t_out)
             out_lengths = jnp.clip(durations.sum(axis=-1), 1, t_out).astype(jnp.int32)
 
-        return x, out_lengths, predictions, attn
+        return x, out_lengths, predictions, attn, losses

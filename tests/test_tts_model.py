@@ -157,3 +157,57 @@ def test_overfit_real_batch(real_batch):
     for _ in range(59):
         last = trainer.training_step(batch)
     assert last["spectral"] < first["spectral"] * 0.5, (first, last)
+
+
+def test_variance_predictor_with_discriminator(rng):
+    """WithDiscriminator variant (reference: tokenlevel_predictor.py:214):
+    LSGAN losses appear in additional_losses and are finite; inference
+    is unaffected."""
+    params = _params(variances=(
+        {"name": "aggregate_pitch", "use_discriminator": True},
+        {"name": "durations"},
+    ))
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    out = model(_inputs(rng), training=True)
+    al = out.additional_losses
+    assert "aggregate_pitch_disc_loss" in al and "aggregate_pitch_gen_loss" in al
+    assert np.isfinite(float(al["aggregate_pitch_disc_loss"]))
+    assert np.isfinite(float(al["aggregate_pitch_gen_loss"]))
+    # discriminator path must not leak into inference
+    inf = model.inference(_inputs(rng), t_out=T)
+    assert "aggregate_pitch_disc_loss" not in (inf.additional_losses or {})
+
+
+def test_gradtts_fa_in_model_aligner(rng):
+    """GradTTS-FA (reference: gardtts_fa.py:86): trains without external
+    durations; MAS durations sum to mel lengths; losses decrease under
+    gradient steps; inference uses the internal duration predictor."""
+    import optax
+
+    params = _params(variances=({"name": "durations", "use_gradtts_fa": True,
+                                 "fa_feat_dim": MELS},))
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    inputs = _inputs(rng)
+    import dataclasses
+    inputs = dataclasses.replace(inputs, durations=None)  # no external aligner
+    out = model(inputs, training=True)
+    assert "fa_duration" in out.additional_losses
+    assert "fa_prior" in out.additional_losses
+    durs = out.variance_predictions["durations_fa"]
+    np.testing.assert_array_equal(np.asarray(durs.sum(-1), np.int32),
+                                  np.asarray(inputs.mel_lengths))
+
+    opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    def loss_fn(m):
+        o = m(inputs, training=True)
+        return o.additional_losses["fa_prior"] + o.additional_losses["fa_duration"]
+
+    l0 = float(loss_fn(model))
+    for _ in range(8):
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+    assert float(loss_fn(model)) < l0
+
+    inf = model.inference(dataclasses.replace(inputs, mel=None, mel_lengths=None), t_out=T)
+    assert inf.spectrogram.shape == (2, B, T, MELS)
