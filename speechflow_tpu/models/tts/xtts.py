@@ -18,11 +18,10 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from speechflow_tpu.models.codec import CodecParams, NeuralCodec
 from speechflow_tpu.models.tts.ar_decoders import GPTDecoder
 from speechflow_tpu.training.base_model import BaseModelParams
 
-__all__ = ["XTTSParams", "XTTSModel"]
+__all__ = ["XTTSParams", "XTTSModel", "XTTSBatchProcessor", "xtts_criterion"]
 
 
 class XTTSParams(BaseModelParams):
@@ -39,6 +38,10 @@ class XTTSParams(BaseModelParams):
 
 class XTTSModel(nnx.Module):
     def __init__(self, params: XTTSParams, rngs: tp.Optional[nnx.Rngs] = None):
+        # local import: codec/rvq.py imports tts.common, so a module-scope
+        # import here would be circular through the tts package __init__
+        from speechflow_tpu.models.codec import CodecParams, NeuralCodec
+
         rngs = rngs or nnx.Rngs(0)
         self.p = params
         self.codec = NeuralCodec(CodecParams.create(params.codec), rngs=rngs)
@@ -81,3 +84,31 @@ class XTTSModel(nnx.Module):
                                   temperature=temperature, key=key, cond=cond)
         codes = jnp.clip(codes, 0, self.n_codes - 1)
         return self.codec.decode(codes[..., None])
+
+
+class XTTSBatchProcessor:
+    """Collated TTS batch -> ({'transcription', 'waveform', ...}, {}) for the
+    XTTS GPT (reference: the GPTA training path consumes text tokens + codec
+    codes computed from the target waveform)."""
+
+    def __call__(self, batch):
+        from speechflow_tpu.data.core.batch import Batch
+
+        c = batch.collated_samples if isinstance(batch, Batch) else batch
+        get = (lambda k: c.get(k)) if isinstance(c, dict) else (lambda k: getattr(c, k, None))
+        inputs = {
+            "transcription": get("transcription"),
+            "waveform": get("waveform"),
+            "waveform_lengths": get("waveform_lengths"),
+            "speaker_id": get("speaker_id"),
+        }
+        return inputs, {}
+
+
+def xtts_criterion():
+    """XTTSModel returns its loss dict directly; pass it through."""
+
+    def criterion(outputs, targets, step):
+        return outputs
+
+    return criterion

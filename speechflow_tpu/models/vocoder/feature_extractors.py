@@ -18,7 +18,7 @@ from flax import nnx
 
 from speechflow_tpu import ops
 
-__all__ = ["MelFeatures", "AudioFeatures"]
+__all__ = ["MelFeatures", "AudioFeatures", "CodecFeatures"]
 
 
 class MelFeatures(nnx.Module):
@@ -67,3 +67,38 @@ class AudioFeatures(nnx.Module):
         if self.proj is not None:
             feat = self.proj(feat)
         return feat
+
+
+class CodecFeatures(nnx.Module):
+    """Neural-codec front-end: waveform -> encoder -> residual VQ -> quantized
+    latents as the vocoder's features.
+
+    The mel_dac-equivalent recipe (reference: tts/vocoders/configs/vocos/
+    mel_dac.yml + vocos/modules/feature_extractors/audio.py DAC branch):
+    the reference trains Vocos to decode pretrained-DAC latents; with no
+    downloadable codecs offline, this extractor uses the framework's trainable
+    NeuralCodec encoder+RVQ (models/codec/rvq.py). The codec trains jointly —
+    its commitment loss surfaces through the (features, losses) tuple exactly
+    like the E2E TTS extractor — or is frozen when warm-started from a codec
+    experiment checkpoint (``freeze=True``).
+    """
+
+    def __init__(self, codec_params: tp.Optional[dict] = None, freeze: bool = False,
+                 rngs: tp.Optional[nnx.Rngs] = None):
+        from speechflow_tpu.models.codec import CodecParams, NeuralCodec
+
+        self.codec = NeuralCodec(CodecParams.create(dict(codec_params or {})),
+                                 rngs=rngs or nnx.Rngs(0))
+        self.freeze = freeze
+        self.dim = self.codec.p.latent_dim
+        self.hop = self.codec.hop
+
+    def __call__(self, inputs):
+        import jax
+
+        wav = inputs["waveform"] if isinstance(inputs, dict) else inputs.waveform
+        z = self.codec.encode_latent(wav)
+        q, _, vq_loss = self.codec.rvq(z)
+        if self.freeze:
+            return jax.lax.stop_gradient(q)
+        return q, {"codec_vq": vq_loss}

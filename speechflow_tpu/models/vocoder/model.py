@@ -15,7 +15,11 @@ import jax.numpy as jnp
 from flax import nnx
 
 from speechflow_tpu.models.vocoder.backbones import DummyBackbone, VocosBackbone
-from speechflow_tpu.models.vocoder.feature_extractors import AudioFeatures, MelFeatures
+from speechflow_tpu.models.vocoder.feature_extractors import (
+    AudioFeatures,
+    CodecFeatures,
+    MelFeatures,
+)
 from speechflow_tpu.models.vocoder.heads import (
     IMDCTCosHead,
     IMDCTSymExpHead,
@@ -33,9 +37,11 @@ class VocosParams(BaseModelParams):
     hop_length: int = 256
     n_mels: int = 100
 
-    feature_extractor: str = "mel"         # mel | audio | tts (E2E, SURVEY §A.5)
+    feature_extractor: str = "mel"         # mel | audio | codec | tts (E2E, SURVEY §A.5)
     input_feature: str = "mel"             # for "audio": field name in inputs
     tts_params: dict = {}                  # for "tts": ParallelTTSParams fields
+    codec_params: dict = {}                # for "codec": CodecParams fields
+    codec_freeze: bool = False             # freeze the codec front-end
     backbone: str = "vocos"                # vocos | dummy
     head: str = "istft"                    # istft | snake_upsample | imdct_symexp | imdct_cos
 
@@ -59,6 +65,10 @@ class Vocos(nnx.Module):
                                                  p.n_mels, rngs=rngs)
         elif p.feature_extractor == "audio":
             self.feature_extractor = AudioFeatures(p.input_feature, p.n_mels, rngs=rngs)
+        elif p.feature_extractor == "codec":
+            # mel_dac-equivalent: trainable RVQ codec latents as features
+            self.feature_extractor = CodecFeatures(p.codec_params,
+                                                   freeze=p.codec_freeze, rngs=rngs)
         elif p.feature_extractor == "tts":
             # E2E GAN-TTS: the full acoustic model is the extractor; its
             # losses surface through __call__'s ft_losses (SURVEY §A.5)

@@ -97,8 +97,12 @@ def model_config_from_info(model_cfg: Config, pipeline: DataPipeline) -> dict:
 
 def trainer_config(model_cfg: Config) -> TrainerConfig:
     t = model_cfg.section("trainer").to_dict()
-    known = {"max_steps", "log_every", "val_every", "ckpt_every", "val_batches"}
-    return TrainerConfig(**{k: int(v) for k, v in t.items() if k in known})
+    known = {"max_steps", "log_every", "val_every", "ckpt_every", "val_batches", "seed"}
+    kwargs = {k: int(v) for k, v in t.items() if k in known}
+    for flag in ("use_mesh", "mixed_precision"):
+        if flag in t:
+            kwargs[flag] = bool(t[flag])
+    return TrainerConfig(**kwargs)
 
 
 def optimizer_config(model_cfg: Config) -> OptimizerConfig:

@@ -43,17 +43,35 @@ def train(model_cfg, data_cfg, saver) -> str:
     pipeline, bundle = build_data(data_cfg, model_cfg)
     try:
         m_dict = model_config_from_info(model_cfg, pipeline)
-        params = ParallelTTSParams.create(m_dict)
-        model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
-        loss_cfg = model_cfg.section("loss").to_dict()
-        criterion = TTSCriterion(**filter_kwargs(TTSCriterion.__init__, loss_cfg))
+        model_type = m_dict.pop("type", "parallel")
+        if model_type == "xtts":
+            # GPT over codec tokens (reference: XTTSDecoder + GPTA recipes)
+            from speechflow_tpu.models.tts import (
+                XTTSBatchProcessor,
+                XTTSModel,
+                XTTSParams,
+                xtts_criterion,
+            )
+
+            m_dict.pop("n_langs", None)  # XTTS conditions on speaker only
+            m_dict.pop("n_mels", None)   # codec tokens, not mel frames
+            params = XTTSParams.create(m_dict)
+            model = XTTSModel(params, rngs=nnx.Rngs(0))
+            criterion = xtts_criterion()
+            batch_processor = XTTSBatchProcessor()
+        else:
+            params = ParallelTTSParams.create(m_dict)
+            model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+            loss_cfg = model_cfg.section("loss").to_dict()
+            criterion = TTSCriterion(**filter_kwargs(TTSCriterion.__init__, loss_cfg))
+            batch_processor = TTSBatchProcessor()
 
         info = pipeline.get_info()
         saver.to_save["pipeline_info"] = info
         saver.to_save["model_params"] = params.to_dict()
 
         trainer = Trainer(
-            model, criterion, TTSBatchProcessor(),
+            model, criterion, batch_processor,
             optimizer_config(model_cfg), trainer_config(model_cfg),
             saver=saver, tb_dir=saver.expr_path / "tb",
         )

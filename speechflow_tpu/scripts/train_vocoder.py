@@ -43,6 +43,18 @@ def train(model_cfg, data_cfg, saver) -> str:
     pipeline, bundle = build_data(data_cfg, model_cfg)
     try:
         params = VocosParams.create(model_cfg.section("model").to_dict())
+        if params.feature_extractor == "tts":
+            # E2E GAN-TTS (styletts2-class recipes): the acoustic model rides
+            # inside the generator; fill its vocab sizes from the pipeline
+            from speechflow_tpu.io import Config
+            from speechflow_tpu.models.vocoder.tts_features import E2EBatchProcessor
+            from speechflow_tpu.scripts.common import model_config_from_info
+
+            params.tts_params = model_config_from_info(
+                Config({"model": dict(params.tts_params)}), pipeline)
+            batch_processor = E2EBatchProcessor()
+        else:
+            batch_processor = VocoderBatchProcessor()
         generator = Vocos(params, rngs=nnx.Rngs(0))
         disc_cfg = model_cfg.section("discriminator").to_dict()
         discriminator = VocoderDiscriminator(
@@ -61,7 +73,7 @@ def train(model_cfg, data_cfg, saver) -> str:
         opt = optimizer_config(model_cfg)
         gan = GANTrainer(
             generator, discriminator, gen_crit, disc_crit,
-            VocoderBatchProcessor(),
+            batch_processor,
             gen_optimizer=opt,
             disc_optimizer=OptimizerConfig.from_config(
                 model_cfg.section("disc_optimizer").to_dict() or

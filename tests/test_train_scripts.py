@@ -187,3 +187,39 @@ def test_aligner_train_script(tmp_path):
     exp = train_aligner.main(["-c", str(mpath), "-cd", str(CFG / "tts_data_24khz.yml"),
                               "-vs", "debug", "--data_root", MINI])
     assert ExperimentSaver.get_last_checkpoint(exp) is not None
+
+
+# ------------------------------------------------------------------ recipe matrix
+
+RECIPES = [
+    # (model config, data config, train script kind)
+    ("tts_forward.yml", "tts_data_24khz.yml", "tts"),        # forward_bigvgan
+    ("xtts_model.yml", "tts_data_24khz.yml", "tts"),          # GPT over codec tokens
+    ("vocoder_bigvgan.yml", "vocoder_data_24khz.yml", "voc"),  # mel_bigvgan
+    ("vocoder_mel_dac.yml", "vocoder_data_24khz.yml", "voc"),  # mel_dac (RVQ latents)
+    ("vocoder_styletts2_e2e.yml", "tts_data_24khz.yml", "voc"),  # styletts2 E2E GAN-TTS
+]
+
+
+@pytest.mark.parametrize("model_yml,data_yml,kind", RECIPES,
+                         ids=[r[0].replace(".yml", "") for r in RECIPES])
+def test_recipe_matrix_smoke(tmp_path, model_yml, data_yml, kind):
+    """Every recipe in the zoo trains debug-scale end-to-end and checkpoints
+    (reference config zoo: tts/vocoders/configs/vocos/*.yml +
+    tts/acoustic_models/configs/tts/*.yml)."""
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.training import ExperimentSaver
+
+    cfg = Config.create_from_file(CFG / model_yml, value_select=["debug"])
+    cfg.set_path("experiment.base_dir", str(tmp_path))
+    mpath = tmp_path / model_yml
+    cfg.to_file(mpath)
+    argv = ["-c", str(mpath), "-cd", str(CFG / data_yml), "-vs", "debug",
+            "--data_root", MINI]
+    if kind == "tts":
+        from speechflow_tpu.scripts import train_tts as script
+    else:
+        from speechflow_tpu.scripts import train_vocoder as script
+    exp = script.main(argv)
+    ckpt = ExperimentSaver.get_last_checkpoint(exp)
+    assert ckpt is not None
