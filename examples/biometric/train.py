@@ -26,6 +26,7 @@ def main():
     p.add_argument("--batch", type=int, default=4)  # triplets per step
     p.add_argument("--platform", default=None)
     p.add_argument("--data_root", default=DATA)
+    p.add_argument("--save", default=None, help="save the trained embedder (state_io pickle)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -86,6 +87,12 @@ def main():
         if it % 20 == 0:
             print(f"step {it}: triplet loss {loss:.4f}")
     print(f"triplet loss: {first:.3f} -> {last:.3f}")
+    if args.save:
+        from speechflow_tpu.utils.state_io import save_module
+
+        save_module(model, model.p if hasattr(model, "p") else ECAPAParams(
+            n_mels=80, channels=64, emb_dim=64, n_blocks=2), args.save)
+        print(f"saved embedder -> {args.save}")
     return model
 
 

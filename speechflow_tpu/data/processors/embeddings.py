@@ -22,7 +22,8 @@ from speechflow_tpu.data.core.datasample import AudioDataSample, SpectrogramData
 from speechflow_tpu.data.processors import handler
 from speechflow_tpu.data.processors import np_dsp
 
-__all__ = ["set_biometric_model", "set_ssl_model", "set_quality_model", "set_codec_model"]
+__all__ = ["set_biometric_model", "set_ssl_model", "set_quality_model",
+           "set_codec_model", "make_ecapa_hook", "make_codec_hook"]
 
 _MODELS: tp.Dict[str, tp.Callable] = {}
 
@@ -59,10 +60,71 @@ def _fallback_embedding(wav: np.ndarray, sr: int, dim: int = 192) -> np.ndarray:
     return emb / max(np.linalg.norm(emb), 1e-9)
 
 
+def make_ecapa_hook(ckpt_path: str, n_fft: int = 1024,
+                    hop_len: int = 256) -> tp.Callable:
+    """Waveform->embedding hook backed by a framework-trained ECAPA embedder
+    saved with utils.state_io.save_module (examples/biometric/train.py --save).
+
+    This is the default fed-through path for speaker conditioning: the
+    reference loads speechbrain's pretrained ECAPA
+    (biometric_processors.py:33); offline, the framework trains its own on
+    the target corpus and the handler loads it from a one-file checkpoint."""
+    import jax.numpy as jnp
+
+    from speechflow_tpu.models.biometric import ECAPAEmbedder, ECAPAParams
+    from speechflow_tpu.utils.state_io import load_module
+
+    model, params = load_module(ECAPAEmbedder, ECAPAParams, ckpt_path)
+    n_mels = params.n_mels  # the featurization the embedder was trained on
+
+    def fn(wav: np.ndarray, sr: int) -> np.ndarray:
+        mag = np_dsp.magnitude_np(wav, n_fft, hop_len)
+        mel = np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, sr, n_mels))
+        emb = np.asarray(model(jnp.asarray(mel[None])))[0]
+        return emb / max(np.linalg.norm(emb), 1e-9)
+
+    return fn
+
+
+def make_codec_hook(ckpt_path: str) -> tp.Callable:
+    """Waveform->latents hook backed by a framework-trained NeuralCodec
+    (models/codec/rvq.py) saved with utils.state_io.save_module — the offline
+    stand-in for the reference's pretrained DAC (audio_processors.py:378)."""
+    import jax.numpy as jnp
+
+    from speechflow_tpu.models.codec import CodecParams, NeuralCodec
+    from speechflow_tpu.utils.state_io import load_module
+
+    model, params = load_module(NeuralCodec, CodecParams, ckpt_path)
+
+    def encode(wav: np.ndarray, sr: int) -> np.ndarray:
+        z = model.encode_latent(jnp.asarray(wav[None]))
+        q, _, _ = model.rvq(z)
+        return np.asarray(q)[0]
+
+    return encode
+
+
+def _checkpoint_hook(kind: str, ckpt: tp.Optional[str],
+                     factory: tp.Callable[[str], tp.Callable]) -> tp.Optional[tp.Callable]:
+    """Resolve the model for a handler: explicit set_*_model() hook wins, then
+    a framework checkpoint given via the handler's config (cached per path)."""
+    fn = _MODELS.get(kind)
+    if fn is not None:
+        return fn
+    if ckpt:
+        key = f"{kind}@{ckpt}"
+        if key not in _MODELS:
+            _MODELS[key] = factory(ckpt)
+        return _MODELS[key]
+    return None
+
+
 @handler(inputs={"audio_chunk"}, outputs={"speaker_emb"})
-def voice_biometrics(ds: AudioDataSample, emb_dim: int = 192) -> AudioDataSample:
+def voice_biometrics(ds: AudioDataSample, emb_dim: int = 192,
+                     model_ckpt: tp.Optional[str] = None) -> AudioDataSample:
     wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
-    fn = _MODELS.get("biometric")
+    fn = _checkpoint_hook("biometric", model_ckpt, make_ecapa_hook)
     ds.speaker_emb = (fn(wav, sr) if fn else
                       _fallback_embedding(wav, sr, emb_dim)).astype(np.float32)
     return ds
@@ -101,9 +163,10 @@ def speech_quality(ds: AudioDataSample) -> AudioDataSample:
 
 
 @handler(inputs={"audio_chunk"}, outputs={"ac_feat"})
-def codec_features(ds: AudioDataSample, hop_len: int = 512) -> AudioDataSample:
+def codec_features(ds: AudioDataSample, hop_len: int = 512,
+                   model_ckpt: tp.Optional[str] = None) -> AudioDataSample:
     wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
-    fn = _MODELS.get("codec")
+    fn = _checkpoint_hook("codec", model_ckpt, make_codec_hook)
     if fn is not None:
         ds.ac_feat = np.asarray(fn(wav, sr))
     else:

@@ -93,7 +93,10 @@ def train(model_cfg, data_cfg, saver) -> str:
                 raise FileNotFoundError(f"no checkpoint under {resume_from}")
             gan.load_checkpoint(ckpt)
             LOGGER.info("resumed GAN from %s at step %d", ckpt, gan.global_step)
-        last = gan.fit(bundle["train"])
+        disc_warmstart = model_cfg.get_path("warmstart.disc_from")
+        if disc_warmstart:
+            gan.warmstart_discriminator(disc_warmstart)
+        last = gan.fit(bundle["train"], bundle.loaders.get("test"))
         LOGGER.info("vocoder training done: %s", last)
         return str(saver.expr_path)
     finally:

@@ -48,7 +48,9 @@ class GANTrainer:
         disc_every: int = 1,
         disc_start_iter: int = 0,
         tb_dir: tp.Optional[tp.Union[str, Path]] = None,
+        mos_hook: tp.Optional[tp.Callable] = None,
     ):
+        self.mos_hook = mos_hook
         self.generator = generator
         self.discriminator = discriminator
         self.batch_processor = batch_processor
@@ -131,6 +133,64 @@ class GANTrainer:
         self.global_step += 1
         return metrics
 
+    def validation_step(self, batch) -> tp.Dict[str, float]:
+        """Objective audio-quality metrics on one val batch: MCD, periodicity
+        (F0 RMSE + voiced F1) and SI-SNR between generated and real waveforms
+        (reference: vocos/metrics/* UTMOS/PESQ-class validation — offline the
+        framework reports its own host metrics + the optional MOSHook)."""
+        from speechflow_tpu.models.vocoder.metrics import (
+            mel_cepstral_distortion,
+            periodicity_metrics,
+            si_snr,
+        )
+
+        inputs, targets = self.batch_processor(batch)
+        inputs, targets = self._place(inputs), self._place(targets)
+        out = self.generator(inputs)
+        if isinstance(out, tuple):
+            out = out[0]
+        fake = np.asarray(out, np.float32)
+        real = np.asarray(targets["waveform"], np.float32)
+        t = min(fake.shape[-1], real.shape[-1])
+        fake, real = fake[..., :t], real[..., :t]
+        sr = getattr(getattr(self.generator, "params", None), "sample_rate", 24000)
+        pm = periodicity_metrics(fake, real, sr)
+        metrics = {"val/mcd": mel_cepstral_distortion(fake, real, sr),
+                   "val/si_snr": si_snr(fake, real)}
+        metrics.update({f"val/{k}": float(v) for k, v in pm.items()})
+        if self.mos_hook is not None:
+            mos = [self.mos_hook(f, sr) for f in fake]
+            mos = [m for m in mos if m is not None]
+            if mos:
+                metrics["val/mos"] = float(np.mean(mos))
+        return metrics
+
+    def warmstart_discriminator(self, expr_or_ckpt) -> None:
+        """Load only the discriminator weights from another experiment
+        (reference vocoder recipes warm-start the discriminator from a
+        pretrained GAN run, e.g. styletts2_bigvgan_ft.yml)."""
+        ckpt = ExperimentSaver.get_last_checkpoint(expr_or_ckpt)
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint under {expr_or_ckpt}")
+        tree, _ = ExperimentSaver.load_checkpoint(ckpt)
+        state = nnx.state(self.discriminator, nnx.Not(nnx.RngState))
+        nnx.replace_by_pure_dict(state, tree["model"]["discriminator"])
+        nnx.update(self.discriminator, state)
+        LOGGER.info("warm-started discriminator from %s", ckpt)
+
+    def validate(self, val_loader) -> tp.Dict[str, float]:
+        get_next = (val_loader.next_batch if hasattr(val_loader, "next_batch")
+                    else iter(val_loader).__next__)
+        agg: tp.Dict[str, list] = {}
+        for _ in range(self.cfg.val_batches):
+            try:
+                m = self.validation_step(get_next())
+            except StopIteration:
+                break
+            for k, v in m.items():
+                agg.setdefault(k, []).append(v)
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
     def fit(self, train_loader, val_loader=None) -> tp.Dict[str, float]:
         get_next = train_loader.next_batch if hasattr(train_loader, "next_batch") else iter(train_loader).__next__
         last = {}
@@ -145,6 +205,14 @@ class GANTrainer:
                 if self._tb:
                     for k, v in last.items():
                         self._tb.add_scalar(k, v, s)
+            if val_loader is not None and s % self.cfg.val_every == 0:
+                vm = self.validate(val_loader)
+                LOGGER.info("gan val @ %d: %s", s,
+                            {k: round(v, 4) for k, v in vm.items()})
+                if self._tb:
+                    for k, v in vm.items():
+                        self._tb.add_scalar(k, v, s)
+                last.update(vm)
             if self.saver is not None and s % self.cfg.ckpt_every == 0:
                 self.save_checkpoint()
         if self.saver is not None:

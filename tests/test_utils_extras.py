@@ -197,3 +197,91 @@ def test_e2e_vocoder_gan_step(rng):
     assert "gen/mel" in metrics and "disc/disc_hinge" in metrics
     for v in metrics.values():
         assert np.isfinite(v)
+
+
+def test_trained_ecapa_checkpoint_feeds_handler_and_tts(rng, tmp_path):
+    """VERDICT item 7: the framework-trained ECAPA is the default fed-through
+    speaker-conditioning path. Train briefly on the mini corpus, save with
+    state_io, point voice_biometrics at the checkpoint, and condition a
+    multi-speaker ParallelTTSModel on the resulting embeddings."""
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from speechflow_tpu.data.core.datasample import AudioDataSample
+    from speechflow_tpu.data.processors import np_dsp
+    from speechflow_tpu.data.processors.embeddings import voice_biometrics
+    from speechflow_tpu.io import AudioChunk
+    from speechflow_tpu.models.biometric import ECAPAEmbedder, ECAPAParams
+    from speechflow_tpu.models.biometric.ecapa import triplet_loss
+    from speechflow_tpu.utils.state_io import load_module, save_module
+
+    # tiny embedder, a few triplet steps on synthetic two-speaker data
+    params = ECAPAParams(n_mels=32, channels=16, emb_dim=16, n_blocks=1)
+    model = ECAPAEmbedder(params, rngs=nnx.Rngs(0))
+    opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    def fake_mel(f0, seed):
+        r = np.random.default_rng(seed)
+        t = np.arange(24000) / 24000
+        wav = np.sin(2 * np.pi * f0 * t) * 0.4 + 0.02 * r.standard_normal(24000)
+        mag = np_dsp.magnitude_np(wav.astype(np.float32), 1024, 256)
+        return np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, 24000, 32))
+
+    @nnx.jit
+    def step(model, opt, mel):
+        def loss_fn(m):
+            emb = m(mel)
+            a, p_, n = jnp.split(emb, 3, axis=0)
+            return triplet_loss(a, p_, n)
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
+    for i in range(4):
+        mel = np.stack([fake_mel(150, i), fake_mel(150, i + 100), fake_mel(320, i)])
+        step(model, opt, jnp.asarray(mel))
+
+    ckpt = tmp_path / "ecapa.pkl"
+    save_module(model, params, ckpt)
+    reloaded, _ = load_module(ECAPAEmbedder, ECAPAParams, ckpt)
+    mel = jnp.asarray(fake_mel(200, 0)[None])
+    np.testing.assert_allclose(np.asarray(model(mel)), np.asarray(reloaded(mel)),
+                               rtol=1e-5)
+
+    # handler path: checkpoint-first (no set_biometric_model registered)
+    def make_ds(f0, seed):
+        r = np.random.default_rng(seed)
+        t = np.arange(24000) / 24000
+        wav = (np.sin(2 * np.pi * f0 * t) * 0.4
+               + 0.02 * r.standard_normal(24000)).astype(np.float32)
+        return AudioDataSample(audio_chunk=AudioChunk(data=wav, sr=24000))
+
+    ds_a = voice_biometrics(make_ds(150, 1), model_ckpt=str(ckpt))
+    ds_b = voice_biometrics(make_ds(320, 2), model_ckpt=str(ckpt))
+    assert ds_a.speaker_emb.shape == (16,)  # model emb_dim, not the 192 fallback
+    assert np.isfinite(ds_a.speaker_emb).all()
+    assert not np.allclose(ds_a.speaker_emb, ds_b.speaker_emb)
+
+    # multi-speaker TTS conditions on the real embeddings (speaker_emb_mode=input)
+    from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
+    from speechflow_tpu.models.tts.data_types import TTSForwardInput
+
+    tp_ = ParallelTTSParams.create(dict(
+        n_symbols=30, n_mels=20, encoder_dim=32, encoder_layers=1,
+        decoder_dim=32, decoder_layers=1, token_emb_dim=32, postnet_dim=32,
+        speaker_emb_mode="input", speaker_bio_dim=16, speaker_emb_dim=16,
+        max_output_length=32, variances=()))
+    tts = ParallelTTSModel(tp_, rngs=nnx.Rngs(0))
+    base = dict(
+        transcription=jnp.asarray(rng.integers(1, 30, (1, 8)), jnp.int32),
+        transcription_lengths=jnp.asarray([8], jnp.int32),
+        speaker_id=jnp.zeros((1,), jnp.int32), lang_id=jnp.zeros((1,), jnp.int32))
+    out_a = tts.inference(TTSForwardInput(
+        speaker_emb=jnp.asarray(ds_a.speaker_emb[None]), **base), t_out=32)
+    out_b = tts.inference(TTSForwardInput(
+        speaker_emb=jnp.asarray(ds_b.speaker_emb[None]), **base), t_out=32)
+    assert np.isfinite(np.asarray(out_a.spectrogram)).all()
+    # different speaker embeddings must change the generated spectrogram
+    assert not np.allclose(np.asarray(out_a.spectrogram), np.asarray(out_b.spectrogram))

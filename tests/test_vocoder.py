@@ -97,3 +97,64 @@ def test_vocoder_gan_training_improves(rng):
     for _ in range(39):
         last = gan.training_step(batch)
     assert last["gen/mel"] < first["gen/mel"] * 0.7, (first["gen/mel"], last["gen/mel"])
+
+
+def test_gan_validation_metrics_and_disc_warmstart(rng, tmp_path):
+    """GAN validation reports MCD/SI-SNR/periodicity every eval (VERDICT
+    item 7) and the discriminator warm-starts from another run's checkpoint
+    (reference: pretrained-disc warmstart in the vocoder recipes)."""
+    from speechflow_tpu.training import ExperimentSaver
+
+    p = VocosParams(dim=64, n_layers=2, n_mels=40)
+    gen = Vocos(p, rngs=nnx.Rngs(0))
+    disc = VocoderDiscriminator(periods=(2,), resolutions=((512, 128),), channels=8,
+                                rngs=nnx.Rngs(1))
+    saver = ExperimentSaver(tmp_path / "exp_a")
+    gan = GANTrainer(
+        gen, disc, vocoder_gen_criterion(SR, n_mels=40), vocoder_disc_criterion(),
+        VocoderBatchProcessor(),
+        config=TrainerConfig(max_steps=2, log_every=10**9, val_batches=1),
+        saver=saver,
+    )
+    wav = _wav_batch(rng)
+    m = gan.validation_step({"waveform": wav})
+    for key in ("val/mcd", "val/si_snr", "val/voicing_f1", "val/pitch_rmse_hz"):
+        assert key in m and np.isfinite(m[key]), (key, m)
+    assert m["val/mcd"] > 0
+
+    # identical waveforms: perfect scores
+    out = gan.generator({"waveform": wav})
+
+    class _Identity(nnx.Module):
+        params = p
+
+        def __init__(self):
+            self.dummy = nnx.Param(jnp.zeros((1,)))
+
+        def __call__(self, inputs):
+            return inputs["waveform"] + 0.0 * self.dummy[...]
+
+    id_gan = GANTrainer(
+        _Identity(), disc, vocoder_gen_criterion(SR, n_mels=40),
+        vocoder_disc_criterion(), VocoderBatchProcessor(),
+        config=TrainerConfig(max_steps=1, log_every=10**9, val_batches=1))
+    m_id = id_gan.validation_step({"waveform": wav})
+    assert m_id["val/mcd"] < 1e-3
+    assert m_id["val/si_snr"] > 40
+
+    # disc warmstart: save from gan, perturb disc, warmstart back
+    gan.training_step({"waveform": wav})
+    gan.save_checkpoint()
+    golden = nnx.to_pure_dict(nnx.state(disc, nnx.Param))
+    import jax
+
+    perturbed = jax.tree_util.tree_map(lambda x: x + 1.0, golden)
+    state = nnx.state(disc, nnx.Param)
+    nnx.replace_by_pure_dict(state, perturbed)
+    nnx.update(disc, state)
+    gan.warmstart_discriminator(saver.expr_path)
+    restored = nnx.to_pure_dict(nnx.state(disc, nnx.Param))
+    leaves_g = jax.tree_util.tree_leaves(golden)
+    leaves_r = jax.tree_util.tree_leaves(restored)
+    for a, b in zip(leaves_g, leaves_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
