@@ -43,10 +43,18 @@ class BaseSampler:
 
 
 class SimpleSampler(BaseSampler):
-    def __init__(self, comb_by_len: bool = False, seed: int = 0):
+    """Sequential sampler. ``tokens_per_batch`` enables dynamic batching by
+    total sample length (reference: simple_sampler.py:21 use_dynamic_batch):
+    a batch greedily accumulates items until the summed length would exceed
+    the budget, so short utterances pack into bigger batches instead of
+    wasting padding FLOPs. ``batch_size`` then acts as the item-count cap."""
+
+    def __init__(self, comb_by_len: bool = False, seed: int = 0,
+                 tokens_per_batch: tp.Optional[int] = None):
         super().__init__()
         self.comb_by_len = comb_by_len
         self.seed = seed
+        self.tokens_per_batch = tokens_per_batch
         self._order: tp.List[int] = []
         self._pos = 0
 
@@ -61,8 +69,19 @@ class SimpleSampler(BaseSampler):
 
     def sampling(self, batch_size: int) -> tp.Tuple[list, bool]:
         n = len(self._order)
-        take = self._order[self._pos : self._pos + batch_size]
-        self._pos += batch_size
+        if self.tokens_per_batch is None:
+            take = self._order[self._pos : self._pos + batch_size]
+            self._pos += batch_size
+        else:
+            take, total = [], 0
+            while self._pos < n and len(take) < batch_size:
+                i = self._order[self._pos]
+                length = self.dataset.item(i).length or 1
+                if take and total + length > self.tokens_per_batch:
+                    break
+                take.append(i)
+                total += length
+                self._pos += 1
         is_last = self._pos >= n
         samples = [self.dataset[i] for i in take]
         if is_last:

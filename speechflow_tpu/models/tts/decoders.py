@@ -130,16 +130,35 @@ class CFMDecoder(nnx.Module):
         dts = ts[1:] - ts[:-1]
         b = mu.shape[0]
 
+        if self.cfg_scale > 0:
+            # batched CFG: one estimator call on a doubled batch instead of
+            # two sequential calls — halves launch count and keeps the MXU
+            # busy with a single larger matmul program per step
+            fake_c = jnp.broadcast_to(self.fake_content[...][None, None, :], content.shape)
+            content2 = jnp.concatenate([content, fake_c], axis=0)
+            mu2 = jnp.concatenate([mu, mu], axis=0)
+            if cond is None:
+                cond2 = jnp.concatenate(
+                    [jnp.zeros((b, self.cond_dim), mu.dtype),
+                     jnp.broadcast_to(self.fake_condition[...][None, :],
+                                      (b, self.cond_dim))], axis=0)
+            else:
+                cond2 = jnp.concatenate(
+                    [cond, jnp.broadcast_to(self.fake_condition[...][None, :],
+                                            cond.shape)], axis=0)
+            lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+
         def euler_step(x, inp):
             t, dt = inp
-            tb = jnp.full((b,), t)
-            v = self._dphi(x, mu, content, tb, cond, lengths)
             if self.cfg_scale > 0:
-                fake_c = jnp.broadcast_to(self.fake_content[...][None, None, :], content.shape)
-                fake_e = None if cond is None else jnp.broadcast_to(
-                    self.fake_condition[...][None, :], cond.shape)
-                v_un = self._dphi(x, mu, fake_c, tb, fake_e, lengths)
-                v = v + self.cfg_scale * (v - v_un)
+                tb2 = jnp.full((2 * b,), t)
+                v2 = self._dphi(jnp.concatenate([x, x], axis=0), mu2, content2,
+                                tb2, cond2, lengths2)
+                v_c, v_un = v2[:b], v2[b:]
+                v = v_c + self.cfg_scale * (v_c - v_un)
+            else:
+                tb = jnp.full((b,), t)
+                v = self._dphi(x, mu, content, tb, cond, lengths)
             return x + dt * v, None
 
         x, _ = jax.lax.scan(euler_step, z, (ts[:-1], dts))

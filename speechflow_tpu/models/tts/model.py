@@ -143,7 +143,8 @@ class ParallelTTSModel(nnx.Module):
         self.encoder = TTS_ENCODERS[p.encoder_type](
             dim_in=content_dim, dim_out=p.encoder_dim, dim=p.encoder_dim,
             n_layers=p.encoder_layers, n_heads=p.encoder_heads,
-            cond_dim=cond_dim, dropout=p.dropout, rngs=rngs)
+            cond_dim=cond_dim, dropout=p.dropout,
+            ling_feat_dim=p.ling_feat_dim, lm_feat_dim=p.lm_feat_dim, rngs=rngs)
         make_cond(1, p.encoder_dim)
 
         # -- variance adaptor ----------------------------------------------------------
@@ -229,7 +230,13 @@ class ParallelTTSModel(nnx.Module):
 
         cond = self._global_condition(inputs, training, losses)
         x = self._cond(0, x, cond)
-        x = self.encoder(x, tok_lens, cond, deterministic=not training)
+        enc_kwargs = {}
+        if p.encoder_type == "sf":  # source-filter: pitch/energy streams
+            enc_kwargs = {"pitch": inputs.aggregate_pitch,
+                          "energy": inputs.aggregate_energy}
+        elif p.encoder_type == "ling_condition":
+            enc_kwargs = {"ling_feat": inputs.ling_feat, "lm_feat": inputs.lm_feat}
+        x = self.encoder(x, tok_lens, cond, deterministic=not training, **enc_kwargs)
         x = self._cond(1, x, cond)
 
         if t_out is None:

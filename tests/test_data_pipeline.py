@@ -199,3 +199,30 @@ def test_pipeline_eval_surgery(pipeline):
     batch = comp.datasample_to_batch([s])
     c = batch.collated_samples
     assert c.transcription is not None and c.mel is None
+
+
+def test_simple_sampler_tokens_per_batch():
+    """Dynamic batching by total length (reference: simple_sampler.py:21
+    use_dynamic_batch): short items pack into bigger batches, long items get
+    small batches, every batch respects the token budget."""
+    ds = Dataset([DataSample(index=i) for i in range(12)])
+    lengths = [10, 10, 10, 10, 100, 100, 200, 10, 10, 10, 10, 10]
+    for i, n in enumerate(lengths):
+        ds.item(i).length = n
+    s = SimpleSampler(tokens_per_batch=120).set_dataset(ds)
+    # sampler.reset() may have been called by set_dataset; re-apply lengths
+    for i, n in enumerate(lengths):
+        ds.item(i).length = n
+    batches = []
+    for _ in range(20):
+        batch, is_last = s.sampling(batch_size=8)
+        batches.append([x.index for x in batch])
+        if is_last:
+            break
+    got = [i for b in batches for i in b]
+    assert got == list(range(12))  # full epoch, in order, nothing dropped
+    for b in batches:
+        assert sum(lengths[i] for i in b) <= 120 or len(b) == 1
+    # the four leading 10-length items packed together; the 200 item is alone
+    assert batches[0] == [0, 1, 2, 3]
+    assert [6] in batches

@@ -211,3 +211,83 @@ def test_gradtts_fa_in_model_aligner(rng):
 
     inf = model.inference(dataclasses.replace(inputs, mel=None, mel_lengths=None), t_out=T)
     assert inf.spectrogram.shape == (2, B, T, MELS)
+
+
+def test_cfm_batched_cfg_matches_sequential(rng):
+    """The batched-CFG Euler solve (one doubled-batch estimator call) must
+    match the sequential two-call formulation exactly."""
+    import jax
+    from speechflow_tpu.models.tts.decoders import CFMDecoder
+    from speechflow_tpu.utils.masks import apply_mask, sequence_mask
+    import jax.numpy as jnp
+    from flax import nnx as _nnx
+
+    dim_in, dim_out, b, n = 16, 12, 2, 10
+    dec = CFMDecoder(dim_in=dim_in, dim_out=dim_out, dim=32, n_layers=1,
+                     n_heads=2, cond_dim=8, n_timesteps=4, cfg_scale=1.5,
+                     rngs=_nnx.Rngs(0))
+    content = jnp.asarray(rng.normal(size=(b, n, dim_in)).astype(np.float32))
+    lengths = jnp.asarray([n, n - 3], jnp.int32)
+    cond = jnp.asarray(rng.normal(size=(b, 8)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    _, x_batched = dec.generate(content, lengths, cond, key=key)
+
+    # sequential oracle: same math, two _dphi calls per step
+    mu = dec.prior(content)
+    z = jax.random.normal(key, mu.shape) * dec.temperature
+    s = jnp.linspace(0.0, 1.0, dec.n_timesteps + 1)
+    ts = 1.0 - jnp.cos(0.5 * jnp.pi * s)
+    x = z
+    fake_c = jnp.broadcast_to(dec.fake_content[...][None, None, :], content.shape)
+    fake_e = jnp.broadcast_to(dec.fake_condition[...][None, :], cond.shape)
+    for i in range(dec.n_timesteps):
+        tb = jnp.full((b,), ts[i])
+        v_c = dec._dphi(x, mu, content, tb, cond, lengths)
+        v_un = dec._dphi(x, mu, fake_c, tb, fake_e, lengths)
+        v = v_c + dec.cfg_scale * (v_c - v_un)
+        x = x + (ts[i + 1] - ts[i]) * v
+    x_seq = apply_mask(x, sequence_mask(lengths, x.shape[1]))
+
+    np.testing.assert_allclose(np.asarray(x_batched), np.asarray(x_seq),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("enc", ["cbhg", "conformer", "variance_encoder", "sf",
+                                 "ling_condition"])
+def test_new_encoders_forward_shapes(rng, enc):
+    """Round-2 encoder zoo additions (reference: encoders/{cbhg,conformer,
+    variance_encoder,source_filter_encoder,ling_condition}.py)."""
+    from speechflow_tpu.models.tts.encoders import TTS_ENCODERS
+
+    e = TTS_ENCODERS[enc](dim_in=24, dim_out=32, dim=32, n_layers=1, n_heads=2,
+                          ling_feat_dim=10, lm_feat_dim=6, rngs=nnx.Rngs(0))
+    x = jnp.asarray(rng.normal(size=(B, N, 24)).astype(np.float32))
+    lens = jnp.asarray([N, N - 5], jnp.int32)
+    kwargs = {}
+    if enc == "sf":
+        kwargs = {"pitch": jnp.asarray(rng.uniform(80, 400, (B, N)).astype(np.float32)),
+                  "energy": jnp.asarray(rng.uniform(0, 100, (B, N)).astype(np.float32))}
+    elif enc == "ling_condition":
+        kwargs = {"ling_feat": jnp.asarray(rng.normal(size=(B, N, 10)).astype(np.float32)),
+                  "lm_feat": jnp.asarray(rng.normal(size=(B, N, 6)).astype(np.float32))}
+    out = e(x, lens, deterministic=True, **kwargs)
+    assert out.shape == (B, N, 32)
+    assert np.isfinite(np.asarray(out)).all()
+    # padding must be masked out
+    assert np.allclose(np.asarray(out)[1, N - 5 :], 0.0)
+
+
+@pytest.mark.parametrize("enc", ["cbhg", "conformer", "sf", "ling_condition"])
+def test_new_encoders_in_model(rng, enc):
+    params = _params(encoder_type=enc, encoder_layers=1)
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    inputs = _inputs(rng)
+    if enc == "ling_condition":
+        inputs = __import__("dataclasses").replace(
+            inputs,
+            ling_feat=jnp.asarray(rng.normal(size=(B, N, 56)).astype(np.float32)),
+            lm_feat=jnp.asarray(rng.normal(size=(B, N, 32)).astype(np.float32)))
+    out = model(inputs, training=True)
+    assert out.spectrogram.shape == (2, B, T, MELS)
+    assert np.isfinite(np.asarray(out.spectrogram)).all()
