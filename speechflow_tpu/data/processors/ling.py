@@ -343,13 +343,39 @@ def _char_ngrams(word: str, n_lo: int = 2, n_hi: int = 4) -> tp.List[str]:
     return out
 
 
-def lm_feat_for_words(words: tp.Sequence[str]) -> np.ndarray:
-    """(n_words, LM_FEAT_DIM) deterministic lexical embeddings: hashed char
-    n-grams through a fixed random projection (fastText-style subword
-    composition). Stands in for the reference's BERT word embeddings
-    (tts_text_processors.py:895) in a no-egress environment; the projection
-    is fixed so dumps and checkpoints stay reproducible.
+_WORD_LMS: tp.Dict[str, tp.Any] = {}
+
+
+def _get_word_lm(ckpt: tp.Optional[str]):
+    if not ckpt:
+        return None
+    if ckpt not in _WORD_LMS:
+        from speechflow_tpu.models.prosody.lm import WordLM
+
+        _WORD_LMS[ckpt] = WordLM.load(ckpt)
+    return _WORD_LMS[ckpt]
+
+
+def lm_feat_for_words(words: tp.Sequence[str],
+                      model_ckpt: tp.Optional[str] = None) -> np.ndarray:
+    """(n_words, LM_FEAT_DIM) word embeddings.
+
+    With ``model_ckpt`` (a WordLM pickle trained in-framework by
+    models/prosody/lm.py train_word_lm), returns learned distributional
+    embeddings — the offline counterpart of the reference's BERT word
+    embeddings (tts_text_processors.py:895). Without it, falls back to
+    deterministic hashed char n-grams through a fixed random projection
+    (fastText-style subword composition), which keeps dumps reproducible
+    with zero setup.
     """
+    lm = _get_word_lm(model_ckpt)
+    if lm is not None:
+        emb = lm.embed(list(words))
+        if emb.shape[1] >= LM_FEAT_DIM:
+            return emb[:, :LM_FEAT_DIM].astype(np.float32)
+        out = np.zeros((len(words), LM_FEAT_DIM), np.float32)
+        out[:, : emb.shape[1]] = emb
+        return out
     import hashlib
 
     out = np.zeros((len(words), LM_FEAT_DIM), np.float32)
@@ -364,11 +390,11 @@ def lm_feat_for_words(words: tp.Sequence[str]) -> np.ndarray:
 
 
 @handler(inputs={"phonemes", "transcription"}, outputs={"lm_feat"})
-def add_lm_feat(ds: TTSDataSample) -> TTSDataSample:
+def add_lm_feat(ds: TTSDataSample, model_ckpt: tp.Optional[str] = None) -> TTSDataSample:
     if ds.phoneme_timestamps is None or ds.word_timestamps is None:
         return ds  # raw-text inference: the eval interface computes features inline
     words = ds.text.split() if ds.text else []
-    wf = lm_feat_for_words(words)
+    wf = lm_feat_for_words(words, model_ckpt=model_ckpt)
     word_map = _phoneme_word_map(ds)
     n = len(ds.phonemes)
     mat = np.zeros((n, LM_FEAT_DIM), np.float32)

@@ -38,9 +38,16 @@ class ProsodyPredictionInterface:
         state = nnx.state(self.model, nnx.Not(nnx.RngState))
         nnx.replace_by_pure_dict(state, tree["model"])
         nnx.update(self.model, state)
+        # trained WordLM vocabulary (tokenizer: word_lm) travels in the payload
+        self.vocab: tp.Optional[dict] = payload.get("word_lm_vocab")
+
+    def _tokenize(self, words: tp.Sequence[str]) -> np.ndarray:
+        if self.vocab is not None:
+            return np.asarray([self.vocab.get(w.lower(), 0) for w in words], np.int32)
+        return hash_tokenize(words, self.params.vocab_size)
 
     def predict(self, words: tp.Sequence[str]) -> tp.Dict[str, np.ndarray]:
-        ids = hash_tokenize(words, self.params.vocab_size)
+        ids = self._tokenize(words)
         n = len(ids)
         pad = (-n) % 16
         batch = {

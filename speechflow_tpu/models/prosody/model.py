@@ -31,6 +31,11 @@ class ProsodyParams(BaseModelParams):
     n_heads: int = 4
     dropout: float = 0.1
     max_len: int = 128
+    # "hash" = md5 hash vocabulary (zero-setup fallback); "word_lm" = corpus
+    # vocabulary + skip-gram embeddings trained in-framework (models/prosody/
+    # lm.py), warm-started into the embedding table by the train script
+    tokenizer: str = "hash"
+    lm_epochs: int = 30
 
 
 class ProsodyModel(nnx.Module):
@@ -45,6 +50,19 @@ class ProsodyModel(nnx.Module):
         self.norm = nnx.LayerNorm(params.dim, rngs=rngs)
         self.binary_head = nnx.Linear(params.dim, 2, rngs=rngs)
         self.category_head = nnx.Linear(params.dim, params.n_classes, rngs=rngs)
+
+    def warmstart_embeddings(self, table: "jnp.ndarray") -> None:
+        """Initialize the token embedding from a trained WordLM table (rows
+        beyond the table keep their random init; a learned projection maps
+        the LM dim into the model dim when they differ)."""
+        import numpy as np
+
+        cur = np.array(self.emb.embedding[...])  # writable copy
+        n = min(table.shape[0], cur.shape[0])
+        d = min(table.shape[1], cur.shape[1])
+        scale = np.sqrt(cur[:, :d].var() / max(float(np.var(table[:n, :d])), 1e-8))
+        cur[:n, :d] = np.asarray(table)[:n, :d] * scale
+        self.emb.embedding[...] = jnp.asarray(cur)
 
     def __call__(self, inputs, training: bool = False):
         ids = inputs["token_ids"] if isinstance(inputs, dict) else inputs.token_ids

@@ -53,6 +53,16 @@ class ProsodySampleLoader:
         self.batch_size = batch_size
         self.max_len = max_len
         self.rng = np.random.default_rng(seed)
+        self.vocab: tp.Optional[dict] = None
+
+    def set_vocab(self, vocab: dict) -> None:
+        """Switch from hash ids to a trained WordLM vocabulary (0 = OOV)."""
+        self.vocab = vocab
+
+    def _tokenize(self, words):
+        if self.vocab is not None:
+            return np.asarray([self.vocab.get(w.lower(), 0) for w in words], np.int32)
+        return hash_tokenize(words, self.vocab_size)
 
     def next_batch(self):
         idx = self.rng.integers(0, len(self.items), self.batch_size)
@@ -63,7 +73,7 @@ class ProsodySampleLoader:
         for r, i in enumerate(idx):
             words, prosody = self.items[int(i)]
             n = min(len(words), self.max_len)
-            ids[r, :n] = hash_tokenize(words[:n], self.vocab_size)
+            ids[r, :n] = self._tokenize(words[:n])
             lens[r] = n
             for k in range(n):
                 lab = prosody[k] if prosody else ("1" if words[k][-1:] in ",.?!" else "undefined")
@@ -90,6 +100,20 @@ def main(argv=None) -> str:
             params.vocab_size,
             batch_size=int(model_cfg.get_path("batch.size", 16)),
         )
+        if params.tokenizer == "word_lm":
+            # train distributional word embeddings on the corpus text, embed
+            # the vocab in the checkpoint payload, warm-start the embed table
+            from speechflow_tpu.models.prosody.lm import train_word_lm
+
+            texts = [" ".join(words) for words, _ in loader.items]
+            lm = train_word_lm(texts, dim=min(params.dim, 64),
+                               max_vocab=params.vocab_size - 1,
+                               epochs=int(model_cfg.get_path("model.lm_epochs", 30)))
+            lm.save(saver.expr_path / "word_lm.pkl")
+            saver.to_save["word_lm_vocab"] = lm.vocab
+            model.warmstart_embeddings(lm.embeddings)
+            loader.set_vocab(lm.vocab)
+            LOGGER.info("word LM trained: %d words in vocab", len(lm.vocab))
         trainer = Trainer(
             model, ProsodyCriterion(),
             lambda b: ({"token_ids": b["token_ids"], "lengths": b["lengths"]},
