@@ -96,3 +96,51 @@ def dither_audio(ds: AudioDataSample, amount: float = 1e-5,
     wav = ds.audio_chunk.waveform
     ds.audio_chunk.data = (wav + amount * rng.standard_normal(len(wav))).astype(np.float32)
     return ds
+
+
+_DENOISERS: tp.Dict[str, tp.Any] = {}
+
+
+@handler(inputs={"audio_chunk"}, outputs={"audio_chunk"})
+def denoise(ds: AudioDataSample, model_ckpt: tp.Optional[str] = None,
+            strength: float = 1.0) -> AudioDataSample:
+    """Waveform denoising (reference: audio_processors.py:427
+    DenoisingProcessor over facebook's pretrained dns64 demucs).
+
+    With ``model_ckpt`` (a WaveDenoiser saved by utils.state_io.save_module),
+    runs the framework's trainable demucs-class U-Net. Without it, falls back
+    to spectral subtraction: the noise profile is estimated from the quietest
+    10% of frames and subtracted (scaled by ``strength``) with the original
+    phase kept."""
+    wav = ds.audio_chunk.waveform
+    if model_ckpt:
+        if model_ckpt not in _DENOISERS:
+            from speechflow_tpu.models.denoiser import WaveDenoiser, WaveDenoiserParams
+            from speechflow_tpu.utils.state_io import load_module
+
+            _DENOISERS[model_ckpt], _ = load_module(
+                WaveDenoiser, WaveDenoiserParams, model_ckpt)
+        import jax.numpy as jnp
+
+        model = _DENOISERS[model_ckpt]
+        den = np.asarray(model(jnp.asarray(wav[None])))[0]
+        out = (1.0 - strength) * wav + strength * den[: len(wav)]
+        ds.audio_chunk.data = out.astype(np.float32)
+        return ds
+
+    from scipy.signal import istft as sp_istft
+    from scipy.signal import stft as sp_stft
+
+    n_fft = 1024
+    _, _, spec = sp_stft(wav, nperseg=n_fft, noverlap=3 * n_fft // 4)
+    mag, phase = np.abs(spec), np.angle(spec)
+    frame_energy = mag.sum(axis=0)
+    k = max(int(0.1 * mag.shape[1]), 1)
+    quiet = np.argsort(frame_energy)[:k]
+    noise_profile = mag[:, quiet].mean(axis=1, keepdims=True)
+    mag = np.maximum(mag - strength * noise_profile, 0.0)
+    _, out = sp_istft(mag * np.exp(1j * phase), nperseg=n_fft,
+                      noverlap=3 * n_fft // 4)
+    out = np.pad(out, (0, max(0, len(wav) - len(out))))[: len(wav)]
+    ds.audio_chunk.data = out.astype(np.float32)
+    return ds

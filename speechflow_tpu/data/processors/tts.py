@@ -209,3 +209,67 @@ def calc_word_lengths(ds: TTSDataSample) -> TTSDataSample:
         counts.append(n)
     ds.word_lengths = np.asarray(counts, dtype=np.int32)
     return ds
+
+
+@handler(inputs={"audio_chunk", "phonemes", "phoneme_timestamps"},
+         outputs={"audio_chunk"})
+def apply_fade_inside_pauses(ds: TTSDataSample) -> TTSDataSample:
+    """Fade the waveform to silence inside SIL intervals (reference:
+    tts_processors.py:454): a steep log-space curve fades out over the first
+    half of each pause and back in over the second half, suppressing residual
+    breath/noise the aligner lumped into pauses. Edges adjacent to other
+    pauses (or the utterance boundary) stay fully silent."""
+    if ds.phoneme_timestamps is None or ds.audio_chunk is None:
+        return ds
+    sr = ds.audio_chunk.sr
+    wav = np.array(ds.audio_chunk.waveform)  # writable copy
+    phonemes = list(ds.phonemes)
+    for idx, (ph, (b, e)) in enumerate(zip(phonemes, ds.phoneme_timestamps)):
+        if ph != SIL:
+            continue
+        a = max(int(b * sr), 0)
+        z = min(int(e * sr), len(wav))
+        fade_len = z - a
+        if fade_len <= 1:
+            continue
+        l_len = fade_len // 2
+        r_len = fade_len - l_len
+        l_curve = np.flip(np.logspace(-1.0, 1.0, l_len) ** 4.0 / 10000.0)
+        if idx == 0 or phonemes[idx - 1] == SIL:
+            l_curve = l_curve * 0.0
+        r_curve = np.logspace(-1.0, 1.0, r_len) ** 4.0 / 10000.0
+        if idx == len(phonemes) - 1 or (idx + 1 < len(phonemes) and phonemes[idx + 1] == SIL):
+            r_curve = r_curve * 0.0
+        wav[a:z] = wav[a:z] * np.concatenate([l_curve, r_curve]).astype(np.float32)
+    ds.audio_chunk.data = wav.astype(np.float32)
+    return ds
+
+
+@handler(inputs={"durations"}, outputs={"invert_durations"})
+def calc_invert_durations(ds: TTSDataSample) -> TTSDataSample:
+    """Frame-level 1/duration signal (reference: tts_processors.py:578) —
+    each frame carries the reciprocal of its token's duration, used as a
+    speaking-rate feature by some decoders."""
+    if ds.durations is None:
+        return ds
+    durs = np.asarray(ds.durations).astype(np.int64)
+    inv = np.repeat(
+        np.where(durs > 0, 1.0 / np.maximum(durs, 1), 0.0), np.maximum(durs, 0)
+    ).astype(np.float32)
+    ds.additional["invert_durations"] = inv
+    return ds
+
+
+@handler(inputs={"durations", "transcription"}, outputs={"transcription_by_frames"})
+def transcription_by_frames(ds: TTSDataSample) -> TTSDataSample:
+    """Frame-level phoneme-id sequence (reference: tts_processors.py:867):
+    token ids repeated by their durations — the target for frame-level
+    transcription heads trained with the CTC loss."""
+    if ds.durations is None or ds.transcription is None:
+        return ds
+    durs = np.asarray(ds.durations).astype(np.int64)
+    ext = np.repeat(np.asarray(ds.transcription), np.maximum(durs, 0))
+    if ds.mel is not None:
+        assert len(ext) == ds.mel.shape[0], (len(ext), ds.mel.shape[0])
+    ds.additional["transcription_by_frames"] = ext.astype(np.int32)
+    return ds

@@ -58,10 +58,12 @@ class ParallelTTSParams(BaseModelParams):
     use_prosody: bool = False
     n_prosody_classes: int = 16          # prosody contour classes (+1 for undefined)
 
-    # style (reference-mel VAE)
+    # style (reference-mel VAE / GMVAE)
     use_style_encoder: bool = False
     style_emb_dim: int = 128
     style_use_vae: bool = True
+    style_use_gmvae: bool = False
+    style_gmvae_components: int = 16
 
     # conditioning
     condition_method: str = "cat"        # cat | add | adanorm | film
@@ -123,8 +125,10 @@ class ParallelTTSModel(nnx.Module):
             self.lang_emb = nnx.Embed(p.n_langs, p.lang_emb_dim, rngs=rngs)
             cond_dim += p.lang_emb_dim
         if p.use_style_encoder:
-            self.style_encoder = StyleEncoder(p.n_mels, emb_dim=p.style_emb_dim,
-                                              use_vae=p.style_use_vae, rngs=rngs)
+            self.style_encoder = StyleEncoder(
+                p.n_mels, emb_dim=p.style_emb_dim, use_vae=p.style_use_vae,
+                use_gmvae=p.style_use_gmvae,
+                gmvae_n_components=p.style_gmvae_components, rngs=rngs)
             cond_dim += p.style_emb_dim
         self.cond_dim = cond_dim
 
@@ -198,7 +202,9 @@ class ParallelTTSModel(nnx.Module):
             style, vae = self.style_encoder(inputs.mel, inputs.mel_lengths,
                                             deterministic=not training)
             parts.append(style)
-            if vae is not None:
+            if isinstance(vae, dict):  # GMVAE loss terms
+                losses.update(vae)
+            elif vae is not None:
                 mu, logvar = vae
                 losses["vae_kl"] = jnp.mean(
                     -0.5 * (1 + logvar - mu**2 - jnp.exp(logvar)))

@@ -20,7 +20,8 @@ from speechflow_tpu.models.tts.common import ConvStack
 from speechflow_tpu.utils.masks import apply_mask, masked_mean, sequence_mask
 
 __all__ = ["VariancePredictor", "TokenLevelDP", "StyleEncoder",
-           "SignalDiscriminator", "GradTTSFA", "TTS_VARIANCE_PREDICTORS"]
+           "GaussianMixtureVAE", "SignalDiscriminator", "GradTTSFA",
+           "TTS_VARIANCE_PREDICTORS"]
 
 
 class VariancePredictor(nnx.Module):
@@ -72,18 +73,83 @@ class TokenLevelDP(nnx.Module):
         return d
 
 
+class GaussianMixtureVAE(nnx.Module):
+    """GMVAE bottleneck (reference: style_encoders/style_encoder.py:141 GMVAE):
+    a diagonal-Gaussian posterior regularized toward a learned K-component
+    Gaussian-mixture prior — styles cluster into discrete modes instead of
+    collapsing to one blob. Losses: responsibility-weighted per-component KL
+    ('gmvae_gm') + KL of the responsibilities to uniform ('gmvae_cat')."""
+
+    def __init__(self, dim_in: int, latent_dim: int, n_components: int = 16,
+                 rngs: nnx.Rngs = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.mean_post = nnx.Linear(dim_in, latent_dim, rngs=rngs)
+        self.logvar_post = nnx.Linear(dim_in, latent_dim, rngs=rngs)
+        self.mean_priors = nnx.Param(
+            jax.random.uniform(rngs.params(), (n_components, latent_dim),
+                               minval=-2.0, maxval=2.0))
+        self.logvar_priors = nnx.Param(jnp.full((n_components, latent_dim), -1.0))
+        self.rngs = rngs
+
+    @staticmethod
+    def _normal_logprob(z, mean, logvar):
+        return -0.5 * (jnp.log(2 * jnp.pi) + logvar + (z - mean) ** 2 / jnp.exp(logvar))
+
+    @staticmethod
+    def _normal_kl(mu_q, lv_q, mu_p, lv_p):
+        return 0.5 * (lv_p - lv_q + (jnp.exp(lv_q) + (mu_q - mu_p) ** 2)
+                      / jnp.exp(lv_p) - 1.0)
+
+    def __call__(self, pooled: jnp.ndarray, deterministic: bool = True):
+        mu = self.mean_post(pooled)
+        logvar = jnp.clip(self.logvar_post(pooled), -8.0, 8.0)
+        if deterministic:
+            z = mu
+            return z, {}
+        eps = jax.random.normal(self.rngs.params(), mu.shape)
+        z = mu + jnp.exp(0.5 * logvar) * eps
+
+        mp = self.mean_priors[...]              # (K, D)
+        lp = jnp.clip(self.logvar_priors[...], -8.0, 8.0)
+        k = mp.shape[0]
+        # responsibilities from the mixture prior's likelihood of the sample
+        logp = jnp.sum(self._normal_logprob(z[:, None, :], mp[None], lp[None]), -1)
+        resp = jax.nn.softmax(logp, axis=-1)    # (B, K)
+        kl_k = jnp.sum(self._normal_kl(mu[:, None, :], logvar[:, None, :],
+                                       mp[None], lp[None]), -1)  # (B, K)
+        gm = jnp.sum(jnp.mean(resp * kl_k, axis=0))
+        cat = jnp.mean(jnp.sum(resp * (jnp.log(resp + 1e-8) + jnp.log(float(k))), -1))
+        return z, {"gmvae_gm": gm, "gmvae_cat": cat}
+
+    def sample_prior(self, key, n: int = 1, sigma_multiplier: float = 1.0):
+        """Draw style embeddings from a random mixture component (the
+        reference's sigma_multiplier inference path)."""
+        k_key, n_key = jax.random.split(key)
+        idx = jax.random.randint(k_key, (n,), 0, self.mean_priors[...].shape[0])
+        mp = self.mean_priors[...][idx]
+        std = jnp.exp(0.5 * jnp.clip(self.logvar_priors[...][idx], -8.0, 8.0))
+        return mp + sigma_multiplier * std * jax.random.normal(n_key, mp.shape)
+
+
 class StyleEncoder(nnx.Module):
-    """Reference-mel -> global style embedding, optional VAE bottleneck
-    (reference: style_encoders/style_encoder.py:37, GMVAE option simplified to
-    a diagonal-Gaussian VAE; returns (emb, (mu, logvar) or None))."""
+    """Reference-mel -> global style embedding with an optional variational
+    bottleneck (reference: style_encoders/style_encoder.py:37): plain
+    diagonal-Gaussian VAE, or a GMVAE (``use_gmvae``) whose losses flow out
+    as a dict. Returns (emb, aux) where aux is (mu, logvar), a loss dict
+    (GMVAE), or None."""
 
     def __init__(self, dim_in: int = 100, dim: int = 256, emb_dim: int = 128,
-                 use_vae: bool = True, rngs: nnx.Rngs = None, **kw):
+                 use_vae: bool = True, use_gmvae: bool = False,
+                 gmvae_n_components: int = 16, rngs: nnx.Rngs = None, **kw):
         rngs = rngs or nnx.Rngs(0)
         self.stack = ConvStack(dim_in, dim, dim, n_layers=3, kernel_size=5,
                                dropout=0.0, rngs=rngs)
         self.use_vae = use_vae
-        if use_vae:
+        self.use_gmvae = use_gmvae
+        if use_gmvae:
+            self.gmvae = GaussianMixtureVAE(dim, emb_dim, gmvae_n_components,
+                                            rngs=rngs)
+        elif use_vae:
             self.mu = nnx.Linear(dim, emb_dim, rngs=rngs)
             self.logvar = nnx.Linear(dim, emb_dim, rngs=rngs)
         else:
@@ -95,6 +161,8 @@ class StyleEncoder(nnx.Module):
         h = self.stack(mel, deterministic=deterministic)
         mask = sequence_mask(lengths, mel.shape[1]) if lengths is not None else None
         pooled = masked_mean(h, mask, axis=1) if mask is not None else jnp.mean(h, 1)
+        if self.use_gmvae:
+            return self.gmvae(pooled, deterministic=deterministic)
         if not self.use_vae:
             return self.proj(pooled), None
         mu = self.mu(pooled)

@@ -226,3 +226,37 @@ def test_simple_sampler_tokens_per_batch():
     # the four leading 10-length items packed together; the 200 item is alone
     assert batches[0] == [0, 1, 2, 3]
     assert [6] in batches
+
+
+def test_fade_invert_frame_transcription_processors():
+    """Round-2 TTS processor tail (reference: tts_processors.py:454 fade,
+    :578 invert durations, :867 transcription_by_frames)."""
+    from speechflow_tpu.data.core.datasample import TTSDataSample
+    from speechflow_tpu.data.processors import get_handler
+    from speechflow_tpu.data.processors.text import SIL
+    from speechflow_tpu.io import AudioChunk, Timestamps
+
+    sr = 24000
+    rng = np.random.default_rng(0)
+    wav = rng.uniform(-0.5, 0.5, sr).astype(np.float32)
+    phonemes = ["a", SIL, "b"]
+    ts = Timestamps(np.asarray([[0.0, 0.3], [0.3, 0.7], [0.7, 1.0]]))
+    ds = TTSDataSample(audio_chunk=AudioChunk(data=wav.copy(), sr=sr),
+                       phonemes=phonemes, phoneme_timestamps=ts)
+
+    out = get_handler("apply_fade_inside_pauses")(ds)
+    w = out.audio_chunk.waveform
+    mid = int(0.5 * sr)  # center of the pause: fully attenuated
+    assert np.abs(w[mid - 200 : mid + 200]).max() < 0.02
+    # speech regions untouched
+    np.testing.assert_array_equal(w[: int(0.29 * sr)], wav[: int(0.29 * sr)])
+
+    # invert durations + frame-level transcription
+    ds2 = TTSDataSample(transcription=np.asarray([5, 6, 7], np.int64),
+                        durations=np.asarray([2, 0, 3], np.float32))
+    ds2 = get_handler("calc_invert_durations")(ds2)
+    np.testing.assert_allclose(ds2.additional["invert_durations"],
+                               [0.5, 0.5, 1 / 3, 1 / 3, 1 / 3], rtol=1e-6)
+    ds2 = get_handler("transcription_by_frames")(ds2)
+    np.testing.assert_array_equal(ds2.additional["transcription_by_frames"],
+                                  [5, 5, 7, 7, 7])

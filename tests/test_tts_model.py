@@ -291,3 +291,30 @@ def test_new_encoders_in_model(rng, enc):
     out = model(inputs, training=True)
     assert out.spectrogram.shape == (2, B, T, MELS)
     assert np.isfinite(np.asarray(out.spectrogram)).all()
+
+
+def test_gmvae_style_encoder(rng):
+    """GMVAE style bottleneck (reference: style_encoder.py:141): losses
+    present at train time, deterministic at inference, prior sampling works,
+    and the model integrates it."""
+    import jax
+    from speechflow_tpu.models.tts.predictors import GaussianMixtureVAE
+
+    gm = GaussianMixtureVAE(24, 8, n_components=4, rngs=nnx.Rngs(0))
+    pooled = jnp.asarray(rng.normal(size=(3, 24)).astype(np.float32))
+    z, losses = gm(pooled, deterministic=False)
+    assert z.shape == (3, 8)
+    assert np.isfinite(float(losses["gmvae_gm"]))
+    assert float(losses["gmvae_cat"]) >= -1e-4  # KL to uniform is nonnegative
+    z_det, l_det = gm(pooled, deterministic=True)
+    assert l_det == {}
+    np.testing.assert_array_equal(np.asarray(gm(pooled, True)[0]), np.asarray(z_det))
+    s = gm.sample_prior(jax.random.PRNGKey(0), n=5)
+    assert s.shape == (5, 8) and np.isfinite(np.asarray(s)).all()
+
+    params = _params(use_style_encoder=True, style_use_gmvae=True,
+                     style_gmvae_components=4, style_emb_dim=16)
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    out = model(_inputs(rng), training=True)
+    assert "gmvae_gm" in out.additional_losses
+    assert "gmvae_cat" in out.additional_losses
