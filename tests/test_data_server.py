@@ -173,3 +173,26 @@ def test_multi_config_loader(tmp_path, mini_dataset_path):
         assert langs == {"EN", "RU"}
     finally:
         bundle.shutdown()
+
+
+def test_standalone_data_client():
+    """DataClient parity (reference: data_server/client.py:15): metadata-only
+    connection with find_info / find_section queries."""
+    from speechflow_tpu.server import DataClient
+
+    dp = _make_pipeline()
+    bundle = init_data_loader(pipeline=dp, batch_size=BATCH, n_workers=1,
+                              prefetch_factor=2)
+    try:
+        addr = bundle["train"].server_addr
+        with DataClient(addr) as client:
+            assert client.n_workers == 1
+            assert isinstance(client.info, dict) and client.info
+            # dotted-suffix search finds nested values
+            subsets = client.find_info("subsets")
+            assert subsets == ["train"]
+            assert client.find_info("no_such_key", default="d") == "d"
+            section = client.find_section("sampler")
+            assert isinstance(section, dict)
+    finally:
+        bundle.shutdown()
