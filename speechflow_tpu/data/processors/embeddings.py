@@ -23,7 +23,8 @@ from speechflow_tpu.data.processors import handler
 from speechflow_tpu.data.processors import np_dsp
 
 __all__ = ["set_biometric_model", "set_ssl_model", "set_quality_model",
-           "set_codec_model", "make_ecapa_hook", "make_codec_hook"]
+           "set_codec_model", "make_ecapa_hook", "make_codec_hook",
+           "make_cpc_hook"]
 
 _MODELS: tp.Dict[str, tp.Callable] = {}
 
@@ -130,10 +131,28 @@ def voice_biometrics(ds: AudioDataSample, emb_dim: int = 192,
     return ds
 
 
+def make_cpc_hook(ckpt_path: str) -> tp.Callable:
+    """Waveform->features hook backed by a framework-trained CPC model
+    (models/ssl/cpc.py) saved with utils.state_io.save_module — the offline
+    stand-in for pretrained Wav2Vec2/WavLM (audio_processors.py:334)."""
+    import jax.numpy as jnp
+
+    from speechflow_tpu.models.ssl import CPCModel, CPCParams
+    from speechflow_tpu.utils.state_io import load_module
+
+    model, params = load_module(CPCModel, CPCParams, ckpt_path)
+
+    def fn(wav: np.ndarray, sr: int) -> np.ndarray:
+        return np.asarray(model(jnp.asarray(wav[None])))[0]
+
+    return fn
+
+
 @handler(inputs={"audio_chunk"}, outputs={"ssl_feat"})
-def ssl_features(ds: AudioDataSample, hop_len: int = 256, dim: int = 256) -> AudioDataSample:
+def ssl_features(ds: AudioDataSample, hop_len: int = 256, dim: int = 256,
+                 model_ckpt: tp.Optional[str] = None) -> AudioDataSample:
     wav, sr = ds.audio_chunk.waveform, ds.audio_chunk.sr
-    fn = _MODELS.get("ssl")
+    fn = _checkpoint_hook("ssl", model_ckpt, make_cpc_hook)
     if fn is not None:
         ds.ssl_feat = np.asarray(fn(wav, sr), np.float32)
     else:

@@ -157,3 +157,58 @@ def yin_f0_np(
     f0 = np.where(voiced, f0, 0.0)
     f0 = np.where((f0 >= f0_min) & (f0 <= f0_max), f0, 0.0)
     return f0.astype(np.float32)
+
+
+def acf_f0_np(
+    x: np.ndarray,
+    sr: int,
+    hop_length: int = 256,
+    frame_length: int = 2048,
+    f0_min: float = 80.0,
+    f0_max: float = 880.0,
+    voicing_threshold: float = 0.45,
+    median_width: int = 3,
+) -> np.ndarray:
+    """Autocorrelation F0 tracker (RAPT/praat-class), independent of YIN.
+
+    The reference extracts pitch with pyworld's dio+stonemask
+    (audio_processors / monotonic_speech); offline this gives a second,
+    methodologically independent estimator so YIN can be parity-checked
+    against it (tests/test_ops.py pitch cross-method tests). Normalized ACF
+    peak picking with parabolic interpolation and median smoothing; 0 where
+    unvoiced. Framing matches yin_f0_np (centered, 1 + T//hop frames)."""
+    n = len(x)
+    n_frames = 1 + n // hop_length
+    pad = frame_length // 2
+    xp = np.pad(x.astype(np.float64), (pad, pad + frame_length))
+    lag_min = max(2, int(sr / f0_max))
+    lag_max = min(int(sr / f0_min), frame_length - 1)
+    f0 = np.zeros(n_frames)
+    for i in range(n_frames):
+        frame = xp[i * hop_length : i * hop_length + frame_length]
+        frame = frame - frame.mean()
+        e0 = np.sum(frame**2)
+        if e0 < 1e-8:
+            continue
+        ac = np.correlate(frame, frame, mode="full")[frame_length - 1 :]
+        ac = ac / (e0 + 1e-12)
+        seg = ac[lag_min : lag_max + 1]
+        k = int(np.argmax(seg))
+        peak = seg[k]
+        if peak < voicing_threshold:
+            continue
+        lag = lag_min + k
+        # parabolic interpolation around the peak
+        if 0 < k < len(seg) - 1:
+            a, b, c = seg[k - 1], seg[k], seg[k + 1]
+            denom = a - 2 * b + c
+            if abs(denom) > 1e-12:
+                lag = lag + 0.5 * (a - c) / denom
+        f0[i] = sr / lag
+    if median_width > 1:
+        from scipy.signal import medfilt
+
+        voiced = f0 > 0
+        sm = medfilt(f0, kernel_size=median_width | 1)
+        f0 = np.where(voiced & (sm > 0), sm, f0)
+    return f0.astype(np.float32)

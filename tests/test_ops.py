@@ -277,3 +277,54 @@ def test_mas_durations_sum():
     durs = path.sum(axis=-1)
     assert (durs.sum(axis=-1) == 12).all()
     assert (durs >= 1).all()  # every token covered when ty >= tx
+
+
+def test_pitch_cross_method_parity_synthetic():
+    """YIN vs the independent ACF tracker (np_dsp.acf_f0_np, a dio/RAPT-class
+    stand-in) must agree on a vibrato tone — two independent methods closing
+    on the same contour is the offline pyworld-parity evidence."""
+    from speechflow_tpu.data.processors.np_dsp import acf_f0_np, yin_f0_np
+
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    f0_true = 180 + 30 * np.sin(2 * np.pi * 1.5 * t)  # vibrato 150..210 Hz
+    phase = 2 * np.pi * np.cumsum(f0_true) / sr
+    wav = (0.4 * np.sin(phase)).astype(np.float32)
+
+    yin = yin_f0_np(wav, sr)
+    acf = acf_f0_np(wav, sr)
+    assert len(yin) == len(acf)
+    both = (yin > 0) & (acf > 0)
+    assert both.mean() > 0.8  # both track most frames
+    rel = np.abs(yin[both] - acf[both]) / acf[both]
+    assert np.median(rel) < 0.02, float(np.median(rel))
+    # and both track the truth
+    truth = f0_true[np.minimum(np.arange(len(yin)) * 256, len(t) - 1)]
+    assert np.median(np.abs(acf[both] - truth[both]) / truth[both]) < 0.05
+
+
+@pytest.mark.slow
+def test_pitch_cross_method_parity_real_audio():
+    """Cross-method agreement on the reference corpus audio."""
+    import glob
+
+    from speechflow_tpu.data.processors.np_dsp import acf_f0_np, yin_f0_np
+    from speechflow_tpu.io import AudioChunk
+
+    paths = sorted(glob.glob(
+        "/root/reference/examples/simple_datasets/speech/SEGS/**/*.wav",
+        recursive=True))[:3]
+    if not paths:
+        pytest.skip("reference mini dataset unavailable")
+    agree = []
+    for p in paths:
+        wav = AudioChunk(file_path=p).load(sr=24000).waveform
+        yin = yin_f0_np(wav, 24000)
+        acf = acf_f0_np(wav, 24000)
+        both = (yin > 0) & (acf > 0)
+        if both.sum() < 10:
+            continue
+        rel = np.abs(yin[both] - acf[both]) / acf[both]
+        # octave errors differ between methods; median is the robust statistic
+        agree.append(float(np.median(rel)))
+    assert agree and np.median(agree) < 0.05, agree
