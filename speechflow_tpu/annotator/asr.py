@@ -19,7 +19,7 @@ import numpy as np
 
 from speechflow_tpu.io import AudioChunk
 
-__all__ = ["ASRBase", "FileASR", "WhisperASR", "run_audio_transcription"]
+__all__ = ["ASRBase", "FileASR", "WhisperASR", "CTCPhonemeASR", "run_audio_transcription"]
 
 
 class ASRBase:
@@ -95,3 +95,38 @@ def run_audio_transcription(
         side.write_text(json.dumps(result, ensure_ascii=False, indent=2), encoding="utf-8")
         done += 1
     return done
+
+
+class CTCPhonemeASR(ASRBase):
+    """In-framework recognizer: the trainable CTC phoneme model
+    (models/asr/ctc_model.py) behind the ASR interface. Emits phoneme-level
+    tokens with frame timestamps — enough for the annotator's alignment
+    bootstrap when no external Whisper weights exist. ``id_to_symbol`` maps
+    label ids back to phoneme strings (the TTS alphabet)."""
+
+    def __init__(self, model_ckpt: tp.Union[str, Path],
+                 id_to_symbol: tp.Optional[tp.Mapping[int, str]] = None):
+        from speechflow_tpu.models.asr import CTCRecognizer, CTCRecognizerParams
+        from speechflow_tpu.utils.state_io import load_module
+
+        self.model, self.params = load_module(
+            CTCRecognizer, CTCRecognizerParams, model_ckpt)
+        self.id_to_symbol = dict(id_to_symbol or {})
+
+    def transcribe(self, audio: AudioChunk) -> dict:
+        import jax.numpy as jnp
+
+        from speechflow_tpu.models.asr import greedy_ctc_decode
+
+        sr = self.params.sample_rate
+        chunk = audio if audio.sr == sr else audio.resample(sr)
+        logits = np.asarray(self.model.recognize(
+            jnp.asarray(chunk.waveform[None])))[0]
+        hop_s = self.params.hop_length * self.params.time_stride / sr
+        ids, spans = greedy_ctc_decode(logits, hop_s=hop_s)
+        tokens = [self.id_to_symbol.get(int(i), str(int(i))) for i in ids]
+        return {
+            "text": " ".join(tokens),
+            "timestamps": [[tok, float(b), float(e)]
+                           for tok, (b, e) in zip(tokens, spans)],
+        }
