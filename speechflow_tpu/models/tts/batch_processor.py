@@ -50,6 +50,8 @@ class TTSBatchProcessor:
             pitch=get("pitch"),
             energy=get("energy"),
             ranges=ranges,
+            speech_quality_emb=get("speech_quality_emb"),
+            ssl_feat=get("ssl_feat"),
         )
         extra = get("additional") or {}
         inputs = dataclasses.replace(

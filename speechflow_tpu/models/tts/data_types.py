@@ -53,6 +53,8 @@ class TTSForwardInput:
     pitch: tp.Optional[jnp.ndarray] = None                  # (B, T) frame-level
     energy: tp.Optional[jnp.ndarray] = None
     ranges: tp.Optional[jnp.ndarray] = None                 # (B, n_feat, 4) speaker stat ranges
+    speech_quality_emb: tp.Optional[jnp.ndarray] = None      # (B, 5) NISQA-style dims
+    ssl_feat: tp.Optional[jnp.ndarray] = None                # (B, T', D) SSL features
     pitch_modifier: tp.Optional[jnp.ndarray] = None          # (B, N) SSML factors
     volume_modifier: tp.Optional[jnp.ndarray] = None
     rate_modifier: tp.Optional[jnp.ndarray] = None

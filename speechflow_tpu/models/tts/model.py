@@ -68,6 +68,13 @@ class ParallelTTSParams(BaseModelParams):
     # conditioning
     condition_method: str = "cat"        # cat | add | adanorm | film
     condition_levels: tp.Tuple[int, ...] = (0, 2)  # where to inject cond (0..3)
+    # named multi-source condition lookup (reference: component.py:149
+    # get_condition): names resolve against the built-in embedders
+    # (speaker/lang/style) or any TTSForwardInput field; "<detach" stops
+    # gradients through that source; 3-D sources are time-averaged.
+    # Empty = classic speaker[+lang][+style] concatenation.
+    condition_sources: tp.Tuple[str, ...] = ()
+    condition_source_dims: dict = {}     # dims for input-field sources
 
     # stages
     encoder_type: str = "transformer"
@@ -130,6 +137,8 @@ class ParallelTTSModel(nnx.Module):
                 use_gmvae=p.style_use_gmvae,
                 gmvae_n_components=p.style_gmvae_components, rngs=rngs)
             cond_dim += p.style_emb_dim
+        if p.condition_sources:
+            cond_dim = sum(self._source_dim(name) for name in p.condition_sources)
         self.cond_dim = cond_dim
 
         # -- condition layers (levels 0..3) --------------------------------------
@@ -187,9 +196,59 @@ class ParallelTTSModel(nnx.Module):
 
     # -- embeddings -------------------------------------------------------------
 
+    def _source_dim(self, name: str) -> int:
+        base = name.split("<", 1)[0]
+        p = self.p
+        known = {"speaker": p.speaker_emb_dim, "lang": p.lang_emb_dim,
+                 "style": p.style_emb_dim, "speaker_emb": p.speaker_bio_dim,
+                 "speech_quality_emb": 5}
+        if base in p.condition_source_dims:
+            return int(p.condition_source_dims[base])
+        if base in known:
+            return known[base]
+        raise ValueError(
+            f"condition source '{base}' needs an entry in condition_source_dims")
+
+    def _lookup_condition(self, name: str, inputs: TTSForwardInput,
+                          training: bool, losses: dict) -> jnp.ndarray:
+        """One named source (reference component.py:149 get_condition):
+        built-in embedders by short name, else any input field; '<detach'
+        stops gradients; 3-D features are time-averaged."""
+        p = self.p
+        base, *mods = name.split("<", 1)
+        if base == "speaker":
+            if p.speaker_emb_mode == "table":
+                v = self.speaker_emb(jnp.maximum(inputs.speaker_id, 0))
+            else:
+                v = self.speaker_proj(inputs.speaker_emb)
+        elif base == "lang":
+            v = self.lang_emb(jnp.maximum(inputs.lang_id, 0))
+        elif base == "style":
+            v, vae = self.style_encoder(inputs.mel, inputs.mel_lengths,
+                                        deterministic=not training)
+            if isinstance(vae, dict):
+                losses.update(vae)
+            elif vae is not None:
+                mu, logvar = vae
+                losses["vae_kl"] = jnp.mean(
+                    -0.5 * (1 + logvar - mu**2 - jnp.exp(logvar)))
+        else:
+            v = inputs.get(base)
+            if v is None:
+                raise ValueError(f"condition source '{base}' missing from inputs")
+            if v.ndim == 3:
+                v = jnp.mean(v, axis=1)
+        if mods and "detach" in mods[0]:
+            v = jax.lax.stop_gradient(v)
+        return v
+
     def _global_condition(self, inputs: TTSForwardInput, training: bool,
                           losses: dict) -> jnp.ndarray:
         p = self.p
+        if p.condition_sources:
+            return jnp.concatenate(
+                [self._lookup_condition(n, inputs, training, losses)
+                 for n in p.condition_sources], axis=-1)
         parts = []
         if p.speaker_emb_mode == "table":
             sid = jnp.maximum(inputs.speaker_id, 0)

@@ -318,3 +318,45 @@ def test_gmvae_style_encoder(rng):
     out = model(_inputs(rng), training=True)
     assert "gmvae_gm" in out.additional_losses
     assert "gmvae_cat" in out.additional_losses
+
+
+def test_condition_sources_lookup_and_detach(rng):
+    """Multi-source condition lookup (reference: component.py:149
+    get_condition): named sources + '<detach' modifier; detached sources
+    receive no gradient."""
+    import jax
+
+    params = _params(condition_sources=("speaker", "speech_quality_emb<detach"),
+                     speaker_emb_dim=32, dropout=0.0)
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    inputs = __import__("dataclasses").replace(
+        _inputs(rng),
+        speech_quality_emb=jnp.asarray(rng.normal(size=(B, 5)).astype(np.float32)))
+    out = model(inputs, training=True)
+    assert out.spectrogram.shape == (2, B, T, MELS)
+
+    # detach semantics: gradient through the detached source is exactly zero
+    def g_of(name):
+        def f(q):
+            inp = __import__("dataclasses").replace(inputs, speech_quality_emb=q)
+            v = model._lookup_condition(name, inp, False, {})
+            return jnp.sum(v**2)
+
+        return jax.grad(f)(inputs.speech_quality_emb)
+
+    assert float(jnp.abs(g_of("speech_quality_emb<detach")).max()) == 0.0
+    assert float(jnp.abs(g_of("speech_quality_emb")).max()) > 0.0
+
+    # and the model still trains through the non-detached sources
+    import optax
+
+    opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+
+    def loss_fn(m):
+        return jnp.mean(m(inputs, training=True).spectrogram ** 2)
+
+    before = np.asarray(model.speaker_emb.embedding[...]).copy()
+    loss, grads = nnx.value_and_grad(loss_fn)(model)
+    opt.update(model, grads)
+    after = np.asarray(model.speaker_emb.embedding[...])
+    assert not np.allclose(before, after)  # speaker table received gradient
