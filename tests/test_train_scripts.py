@@ -223,3 +223,29 @@ def test_recipe_matrix_smoke(tmp_path, model_yml, data_yml, kind):
     exp = script.main(argv)
     ckpt = ExperimentSaver.get_last_checkpoint(exp)
     assert ckpt is not None
+
+
+def test_xtts_train_and_eval_interface(tmp_path):
+    """XTTS end to end: train debug-scale (GPT over co-trained codec tokens),
+    rebuild from the checkpoint alone, synthesize raw text -> waveform."""
+    from speechflow_tpu.interface import XTTSEvaluationInterface
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.scripts import train_tts
+    from speechflow_tpu.training import ExperimentSaver
+
+    cfg = Config.create_from_file(CFG / "xtts_model.yml", value_select=["debug"])
+    cfg.set_path("experiment.base_dir", str(tmp_path))
+    mpath = tmp_path / "xtts_model.yml"
+    cfg.to_file(mpath)
+    exp = train_tts.main(["-c", str(mpath), "-cd", str(CFG / "tts_data_24khz.yml"),
+                          "-vs", "debug", "--data_root", MINI])
+    ckpt = ExperimentSaver.get_last_checkpoint(exp)
+    assert ckpt is not None
+
+    iface = XTTSEvaluationInterface(ckpt)
+    assert len(iface.get_speakers()) >= 1
+    audio = iface.synthesize("Hello world.", speaker=iface.get_speakers()[0],
+                             max_tokens=32)
+    assert audio.sr == iface.sample_rate
+    wav = audio.waveform
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
