@@ -206,6 +206,20 @@ def main():
         except Exception as e:  # noqa: BLE001 — stage timing must not kill the bench
             stage_report[f"{name}_error"] = str(e)[:120]
 
+    # rough MFU: XLA's own flop estimate for the e2e program / measured time,
+    # against the v5e bf16 peak (~197 TFLOP/s)
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            sec_per_call = elapsed / ITERS
+            stage_report["e2e_mfu_pct"] = round(
+                100.0 * flops / sec_per_call / 197e12, 2)
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+
     print(json.dumps({
         "metric": "e2e_tts_xrealtime_per_chip",
         "value": round(xrt, 2),
