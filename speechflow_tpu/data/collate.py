@@ -61,6 +61,7 @@ class CollatedTTS(CollatedSpectrogram):
     aggregate_energy: tp.Optional[np.ndarray] = None
     ling_feat: tp.Optional[np.ndarray] = None
     lm_feat: tp.Optional[np.ndarray] = None
+    xpbert_feat: tp.Optional[np.ndarray] = None
     prosody: tp.Optional[np.ndarray] = None
 
 
@@ -154,7 +155,8 @@ class TTSCollate(SpectrogramCollate):
 
         dur, _ = _opt_stack(samples, "durations", target_len=n_tok)
         out.durations = dur
-        for attr in ("aggregate_pitch", "aggregate_energy", "ling_feat", "lm_feat"):
+        for attr in ("aggregate_pitch", "aggregate_energy", "ling_feat", "lm_feat",
+                     "xpbert_feat"):
             arr, _ = _opt_stack(samples, attr, target_len=n_tok)
             setattr(out, attr, arr)
         # prosody pads with -1 = "undefined" class, not class 0

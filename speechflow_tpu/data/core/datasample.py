@@ -128,6 +128,7 @@ class TTSDataSample(SpectrogramDataSample):
     aggregate_energy: tp.Optional[np.ndarray] = None    # (N,)
     ling_feat: tp.Optional[np.ndarray] = None           # (N, F) linguistic features
     lm_feat: tp.Optional[np.ndarray] = None             # word-level LM embeddings
+    xpbert_feat: tp.Optional[np.ndarray] = None         # (N, D) phoneme-level LM embeddings
     word_lengths: tp.Optional[np.ndarray] = None        # tokens per word
     prosody: tp.Optional[np.ndarray] = None             # (N,) prosody class per token
     intonation_type: tp.Optional[str] = None

@@ -37,7 +37,8 @@ from speechflow_tpu.data.processors.text import BOS, EOS, SIL
 
 __all__ = [
     "LING_FEAT_DIM", "LM_FEAT_DIM", "UPOS", "UD_RELS", "PUNCT_CLASSES",
-    "RuleBasedTagger", "add_ling_feat", "add_lm_feat",
+    "RuleBasedTagger", "add_ling_feat", "add_lm_feat", "add_xpbert_feat",
+    "XPBERT_FEAT_DIM",
     "ling_feat_from_text", "lm_feat_for_words", "word_ling_features",
 ]
 
@@ -443,3 +444,41 @@ def ling_feat_from_text(words: tp.Sequence[str],
         row[0, 0] = 1.0
         mat = np.concatenate([row, mat, row.copy()], axis=0)
     return mat.astype(np.float32)
+
+
+XPBERT_FEAT_DIM = 32
+
+
+@handler(inputs={"phonemes", "transcription"}, outputs={"xpbert_feat"})
+def add_xpbert_feat(ds: TTSDataSample,
+                    model_ckpt: tp.Optional[str] = None) -> TTSDataSample:
+    """Per-phoneme contextual-style embeddings (reference:
+    tts_text_processors.py:782 XPBertProcessor over XPhoneBERT).
+
+    Offline equivalent: a phoneme-level skip-gram LM trained in-framework
+    (models/prosody/lm.py train_token_lm over the corpus phoneme sequences,
+    pointed at via ``model_ckpt``); without a checkpoint, deterministic
+    char-ngram embeddings of the phoneme symbols. Service rows use the
+    reference's constants: BOS 0.01, EOS -0.01, SIL 0.1."""
+    if ds.phonemes is None:
+        return ds
+    phonemes = list(ds.phonemes)
+    lm = _get_word_lm(model_ckpt)
+    if lm is not None:
+        mat = lm.embed(phonemes)[:, :XPBERT_FEAT_DIM].astype(np.float32)
+        if mat.shape[1] < XPBERT_FEAT_DIM:
+            mat = np.pad(mat, ((0, 0), (0, XPBERT_FEAT_DIM - mat.shape[1])))
+    else:
+        mat = lm_feat_for_words(phonemes)[:, :XPBERT_FEAT_DIM].astype(np.float32)
+    from speechflow_tpu.data.processors.text import SIL
+
+    for i, p in enumerate(phonemes):
+        if p == SIL:
+            mat[i] = 0.1
+    n_tokens = ds.n_tokens
+    if n_tokens and n_tokens == mat.shape[0] + 2:  # BOS/EOS service rows
+        bos = np.full((1, XPBERT_FEAT_DIM), 0.01, np.float32)
+        eos = np.full((1, XPBERT_FEAT_DIM), -0.01, np.float32)
+        mat = np.concatenate([bos, mat, eos], axis=0)
+    ds.xpbert_feat = mat
+    return ds

@@ -23,7 +23,7 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["WordLM", "train_word_lm", "tokenize_words"]
+__all__ = ["WordLM", "train_word_lm", "train_token_lm", "tokenize_words"]
 
 _WORD_RE = re.compile(r"[\w']+", re.UNICODE)
 
@@ -105,10 +105,33 @@ def train_word_lm(
     gathers a batch, samples negatives from the unigram^0.75 distribution and
     takes one SGD step on the standard SGNS logistic loss.
     """
+    sentences = [tokenize_words(t) for t in texts]
+    return train_token_lm(sentences, dim=dim, window=window, min_count=min_count,
+                          max_vocab=max_vocab, n_negatives=n_negatives,
+                          epochs=epochs, batch_size=batch_size, lr=lr, seed=seed)
+
+
+def train_token_lm(
+    sentences: tp.Sequence[tp.Sequence[str]],
+    dim: int = 32,
+    window: int = 3,
+    min_count: int = 1,
+    max_vocab: int = 20000,
+    n_negatives: int = 8,
+    epochs: int = 60,
+    batch_size: int = 1024,
+    lr: float = 0.05,
+    seed: int = 0,
+) -> WordLM:
+    """Skip-gram over arbitrary token sequences (words, phonemes, ...).
+
+    Phoneme sequences give the XPhoneBERT-equivalent: distributional phoneme
+    embeddings for `xpbert_feat` (reference: tts_text_processors.py:782
+    XPBertProcessor)."""
     import jax
     import jax.numpy as jnp
 
-    sentences = [tokenize_words(t) for t in texts]
+    sentences = [[str(w).lower() for w in s] for s in sentences]
     counts = Counter(w for s in sentences for w in s)
     words = [w for w, c in counts.most_common(max_vocab) if c >= min_count]
     vocab = {w: i + 1 for i, w in enumerate(words)}  # 0 = OOV/PAD

@@ -44,6 +44,7 @@ class TTSBatchProcessor:
             aggregate_energy=get("aggregate_energy"),
             ling_feat=get("ling_feat"),
             lm_feat=get("lm_feat"),
+            xpbert_feat=get("xpbert_feat"),
             prosody=get("prosody"),
             mel=get("mel"),
             mel_lengths=get("mel_lengths"),

@@ -47,6 +47,7 @@ class TTSForwardInput:
     aggregate_energy: tp.Optional[jnp.ndarray] = None
     ling_feat: tp.Optional[jnp.ndarray] = None              # (B, N, F)
     lm_feat: tp.Optional[jnp.ndarray] = None
+    xpbert_feat: tp.Optional[jnp.ndarray] = None        # (B, N, D) phoneme-level LM
     prosody: tp.Optional[jnp.ndarray] = None                # (B, N) int
     mel: tp.Optional[jnp.ndarray] = None                    # (B, T, n_mels) reference/target
     mel_lengths: tp.Optional[jnp.ndarray] = None

@@ -55,6 +55,8 @@ class ParallelTTSParams(BaseModelParams):
     ling_feat_dim: int = 56              # ling.LING_FEAT_DIM (pos/punct/syntax/emphasis/...)
     use_lm_feat: bool = False
     lm_feat_dim: int = 32                # ling.LM_FEAT_DIM (word embeddings)
+    use_xpbert_feat: bool = False        # phoneme-level LM (ling.add_xpbert_feat)
+    xpbert_feat_dim: int = 32
     use_prosody: bool = False
     n_prosody_classes: int = 16          # prosody contour classes (+1 for undefined)
 
@@ -117,6 +119,8 @@ class ParallelTTSModel(nnx.Module):
             self.ling_proj = nnx.Linear(p.ling_feat_dim, p.token_emb_dim, rngs=rngs)
         if p.use_lm_feat:
             self.lm_proj = nnx.Linear(p.lm_feat_dim, p.token_emb_dim, rngs=rngs)
+        if p.use_xpbert_feat:
+            self.xpbert_proj = nnx.Linear(p.xpbert_feat_dim, p.token_emb_dim, rngs=rngs)
         if p.use_prosody:
             # class 0 = undefined (-1 shifted by 1); reference folds prosody
             # contour tokens into its alphabet (tts_text_processors.py:111)
@@ -289,6 +293,8 @@ class ParallelTTSModel(nnx.Module):
             x = x + self.ling_proj(inputs.ling_feat)
         if p.use_lm_feat and inputs.lm_feat is not None:
             x = x + self.lm_proj(inputs.lm_feat)
+        if p.use_xpbert_feat and inputs.xpbert_feat is not None:
+            x = x + self.xpbert_proj(inputs.xpbert_feat)
         if p.use_prosody and inputs.prosody is not None:
             cls = jnp.clip(inputs.prosody + 1, 0, p.n_prosody_classes)
             x = x + self.prosody_emb(cls)

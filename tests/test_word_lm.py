@@ -90,3 +90,61 @@ def test_prosody_model_warmstart(lm):
     ids = jnp.asarray(lm.token_ids(["cat", "dog"])[None])
     out = model({"token_ids": ids, "lengths": jnp.asarray([2])})
     assert out["binary"].shape == (1, 2, 2)
+
+
+def test_phoneme_lm_and_xpbert_feat(tmp_path):
+    """Phoneme-level skip-gram (train_token_lm) + add_xpbert_feat handler —
+    the XPhoneBERT-equivalent (reference: tts_text_processors.py:782)."""
+    import numpy as _np
+
+    from speechflow_tpu.data.core.datasample import TTSDataSample
+    from speechflow_tpu.data.processors import get_handler
+    from speechflow_tpu.data.processors.ling import XPBERT_FEAT_DIM
+    from speechflow_tpu.data.processors.text import SIL
+    from speechflow_tpu.models.prosody.lm import train_token_lm
+
+    rng = _np.random.default_rng(0)
+    # phoneme "sentences": vowels a/e alternate contexts with consonants
+    seqs = []
+    for _ in range(300):
+        v = ["AA", "EH"][rng.integers(2)]
+        seqs.append(["HH", v, "L", v, "OW"])
+        seqs.append(["P", v, "T", v, "K"])
+    lm = train_token_lm(seqs, dim=XPBERT_FEAT_DIM, epochs=30, seed=0)
+    assert lm.similarity("aa", "eh") > lm.similarity("aa", "k")
+
+    ckpt = str(lm.save(tmp_path / "ph_lm.pkl"))
+    ds = TTSDataSample(phonemes=["HH", "AA", SIL, "K"],
+                       transcription=_np.arange(6))  # with BOS/EOS
+    out = get_handler("add_xpbert_feat")(ds, model_ckpt=ckpt)
+    assert out.xpbert_feat.shape == (6, XPBERT_FEAT_DIM)
+    _np.testing.assert_allclose(out.xpbert_feat[0], 0.01, rtol=1e-6)   # BOS
+    _np.testing.assert_allclose(out.xpbert_feat[-1], -0.01, rtol=1e-6)  # EOS
+    _np.testing.assert_allclose(out.xpbert_feat[3], 0.1, rtol=1e-6)    # SIL
+
+    # fallback path (no checkpoint) also fills the field
+    ds2 = TTSDataSample(phonemes=["HH", "AA"], transcription=_np.arange(2))
+    out2 = get_handler("add_xpbert_feat")(ds2)
+    assert out2.xpbert_feat.shape == (2, XPBERT_FEAT_DIM)
+
+    # the model consumes it
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
+    from speechflow_tpu.models.tts.data_types import TTSForwardInput
+
+    p = ParallelTTSParams.create(dict(
+        n_symbols=30, n_mels=20, encoder_dim=32, encoder_layers=1,
+        decoder_dim=32, decoder_layers=1, token_emb_dim=32, postnet_dim=32,
+        speaker_emb_dim=16, max_output_length=32, use_xpbert_feat=True,
+        variances=()))
+    model = ParallelTTSModel(p, rngs=nnx.Rngs(0))
+    inp = TTSForwardInput(
+        transcription=jnp.asarray(rng.integers(1, 30, (1, 8)), jnp.int32),
+        transcription_lengths=jnp.asarray([8], jnp.int32),
+        speaker_id=jnp.zeros((1,), jnp.int32), lang_id=jnp.zeros((1,), jnp.int32),
+        xpbert_feat=jnp.asarray(rng.normal(size=(1, 8, XPBERT_FEAT_DIM)).astype(_np.float32)))
+    o1 = model.inference(inp, t_out=32)
+    o2 = model.inference(__import__("dataclasses").replace(inp, xpbert_feat=None), t_out=32)
+    assert not _np.allclose(_np.asarray(o1.spectrogram), _np.asarray(o2.spectrogram))
