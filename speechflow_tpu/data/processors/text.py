@@ -19,7 +19,8 @@ import numpy as np
 from speechflow_tpu.data.core.datasample import TTSDataSample
 from speechflow_tpu.data.processors import handler
 
-__all__ = ["Alphabet", "TTSTextProcessor", "TextParserHook"]
+__all__ = ["Alphabet", "TTSTextProcessor", "TextParserHook",
+           "ARPABET_TO_IPA", "to_ipa", "phonemes_to_ipa"]
 
 PAD, BOS, EOS, SIL, UNK = "<PAD>", "<BOS>", "<EOS>", "<SIL>", "<UNK>"
 SERVICE_TOKENS = (PAD, BOS, EOS, SIL, UNK)
@@ -134,3 +135,40 @@ def text_to_transcription(ds: TTSDataSample, processor: tp.Optional[TTSTextProce
     """Pipe-level wrapper; ``processor`` is bound by PipelineComponents."""
     assert processor is not None, "text processor must be injected by the pipeline"
     return processor.process(ds)
+
+
+# ---------------------------------------------------------------- IPA mapping
+
+#: ARPABET -> IPA (reference: the multilingual parser's is_ipa_phonemes mode,
+#: tts_text_processors.py:78-132 — multilingual recipes share one IPA symbol
+#: space so phonemes transfer across languages). Stress digits map to the
+#: IPA stress diacritics the reference's "truncated" mode prefixes.
+ARPABET_TO_IPA: tp.Dict[str, str] = {
+    "AA": "ɑ", "AE": "æ", "AH": "ʌ", "AO": "ɔ", "AW": "aʊ", "AY": "aɪ",
+    "EH": "ɛ", "ER": "ɝ", "EY": "eɪ", "IH": "ɪ", "IY": "i", "OW": "oʊ",
+    "OY": "ɔɪ", "UH": "ʊ", "UW": "u",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "F": "f", "G": "ɡ",
+    "HH": "h", "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n",
+    "NG": "ŋ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ", "T": "t",
+    "TH": "θ", "V": "v", "W": "w", "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+_STRESS_MARKS = {"1": "ˈ", "2": "ˌ", "0": ""}
+
+
+def to_ipa(phoneme: str) -> str:
+    """One ARPABET phoneme (optionally stress-suffixed, e.g. "AA1") -> IPA.
+
+    Service tokens and unknown symbols pass through unchanged so mixed
+    alphabets (SIL/BOS/EOS + phones) stay valid."""
+    if phoneme in SERVICE_TOKENS:
+        return phoneme
+    base, stress = phoneme, ""
+    if base and base[-1] in _STRESS_MARKS:
+        stress = _STRESS_MARKS[base[-1]]
+        base = base[:-1]
+    ipa = ARPABET_TO_IPA.get(base.upper())
+    return phoneme if ipa is None else stress + ipa
+
+
+def phonemes_to_ipa(phonemes: tp.Sequence[str]) -> tp.List[str]:
+    return [to_ipa(p) for p in phonemes]

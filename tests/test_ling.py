@@ -178,3 +178,32 @@ def test_ling_feat_through_pipeline(mini_dataset_path):
     assert c.ling_feat.shape[:2] == c.transcription.shape
     assert c.lm_feat is not None and c.lm_feat.shape[-1] == LM_FEAT_DIM
     assert c.prosody is not None and c.prosody.dtype == np.int32
+
+
+def test_arpabet_to_ipa_mapping():
+    """IPA phoneme mapping (reference: TTSTextProcessor ipa modes,
+    tts_text_processors.py:78): stress diacritics, passthrough for service
+    tokens/unknowns, full coverage of the ARPABET set."""
+    from speechflow_tpu.data.processors.text import (
+        ARPABET_TO_IPA,
+        SIL,
+        Alphabet,
+        phonemes_to_ipa,
+        to_ipa,
+    )
+
+    assert to_ipa("AA1") == "ˈɑ"
+    assert to_ipa("AA2") == "ˌɑ"
+    assert to_ipa("AA0") == "ɑ"
+    assert to_ipa("CH") == "tʃ"
+    assert to_ipa(SIL) == SIL
+    assert to_ipa("??") == "??"  # unknown passes through
+    seq = phonemes_to_ipa(["HH", "AH0", "L", "OW1", SIL])
+    assert seq == ["h", "ʌ", "l", "ˈoʊ", SIL]
+    # an IPA alphabet with stress variants (the reference's "truncated" mode
+    # adds stressed copies of every phone) encodes round-trip
+    base = sorted(set(ARPABET_TO_IPA.values()))
+    alpha = Alphabet(base + ["ˈ" + p for p in base] + ["ˌ" + p for p in base])
+    ids = alpha.encode(seq[:4])
+    assert (ids > 0).all()
+    assert alpha.decode(ids) == seq[:4]
