@@ -66,10 +66,76 @@ def _feature_matching(real_fmaps, fake_fmaps) -> jnp.ndarray:
     return loss / max(n, 1)
 
 
+def make_cpc_perceptual_loss(cpc_ckpt: str):
+    """SLM feature loss (reference: vocos/losses.py:319 WavLMLoss over
+    frozen pretrained WavLM): mean L1 between frozen framework-CPC features
+    of generated and real audio. The CPC weights are constants under jit —
+    only the generator receives gradients."""
+    import jax
+
+    from flax import nnx
+
+    from speechflow_tpu.models.ssl import CPCModel, CPCParams
+    from speechflow_tpu.utils.state_io import load_module
+
+    model, _ = load_module(CPCModel, CPCParams, cpc_ckpt)
+    # split once; merge inside the (jit'd) loss so the frozen weights enter
+    # the trace as constants with trace-local Variables
+    graphdef, state = nnx.split(model)
+
+    def loss(fake: jnp.ndarray, real: jnp.ndarray) -> jnp.ndarray:
+        m = nnx.merge(graphdef, jax.lax.stop_gradient(state))
+        f = m(fake)
+        r = jax.lax.stop_gradient(m(real))
+        return jnp.mean(jnp.abs(f - r))
+
+    return loss
+
+
+def make_speaker_similarity_loss(bio_ckpt: str, sample_rate: int = 24000,
+                                 n_fft: int = 1024, hop: int = 256):
+    """Speaker-similarity loss (reference: vocos/losses.py:273
+    SpeakerSimilarityLoss over a pretrained biometric model): 1 - cosine
+    between frozen framework-ECAPA embeddings of generated and real audio,
+    with the log-mel front-end computed on device inside the same program."""
+    import jax
+
+    from flax import nnx
+
+    from speechflow_tpu.models.biometric import ECAPAEmbedder, ECAPAParams
+    from speechflow_tpu.utils.state_io import load_module
+
+    model, params = load_module(ECAPAEmbedder, ECAPAParams, bio_ckpt)
+    n_mels = params.n_mels
+    graphdef, state = nnx.split(model)
+
+    def embed(wav):
+        m = nnx.merge(graphdef, jax.lax.stop_gradient(state))
+        mag = ops.magnitude(wav, n_fft, hop)
+        mel = ops.amp_to_db(ops.linear_to_mel(mag, sample_rate, n_mels))
+        emb = m(mel)
+        return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9)
+
+    def loss(fake: jnp.ndarray, real: jnp.ndarray) -> jnp.ndarray:
+        e_f = embed(fake)
+        e_r = jax.lax.stop_gradient(embed(real))
+        return jnp.mean(1.0 - jnp.sum(e_f * e_r, axis=-1))
+
+    return loss
+
+
 def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
                           mel_weight: float = 45.0, fm_weight: float = 2.0,
                           stft_weight: float = 1.0, adv_weight: float = 1.0,
-                          adv_start_iter: int = 0):
+                          adv_start_iter: int = 0,
+                          cpc_ckpt: tp.Optional[str] = None,
+                          cpc_weight: float = 1.0,
+                          bio_ckpt: tp.Optional[str] = None,
+                          speaker_sim_weight: float = 1.0):
+    cpc_loss = make_cpc_perceptual_loss(cpc_ckpt) if cpc_ckpt else None
+    spk_loss = (make_speaker_similarity_loss(bio_ckpt, sample_rate)
+                if bio_ckpt else None)
+
     def criterion(gen_out, disc, inputs, targets, step):
         ft_losses = {}
         if isinstance(gen_out, tuple):  # E2E extractor returns (wav, ft_losses)
@@ -86,6 +152,10 @@ def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
         gate = (step >= adv_start_iter).astype(jnp.float32)
         losses["adv"] = adv_weight * gate * _hinge_gen(fake_logits)
         losses["fm"] = fm_weight * gate * _feature_matching(real_fmaps, fake_fmaps)
+        if cpc_loss is not None:
+            losses["cpc"] = cpc_weight * cpc_loss(fake, real)
+        if spk_loss is not None:
+            losses["spk_sim"] = speaker_sim_weight * spk_loss(fake, real)
         losses.update(ft_losses)
         return losses
 

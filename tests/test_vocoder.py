@@ -2,6 +2,7 @@
 outputs, GAN criteria, and a short real GAN training run that must reduce the
 mel reconstruction loss."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -215,3 +216,45 @@ def test_mos_proxy_tracks_degradation(tmp_path):
     )
     m = gan.validation_step({"waveform": np.stack([clean, clean])})
     assert "val/mos" in m and 1.0 <= m["val/mos"] <= 5.0
+
+
+def test_cpc_and_speaker_losses_in_gan(rng, tmp_path):
+    """Perceptual losses from framework-trained models (reference:
+    vocos/losses.py:273 SpeakerSimilarityLoss, :319 WavLMLoss): frozen
+    CPC/ECAPA checkpoints plug into the generator criterion; gradients reach
+    the generator and the frozen models stay frozen."""
+    from speechflow_tpu.models.biometric import ECAPAEmbedder, ECAPAParams
+    from speechflow_tpu.models.ssl import CPCModel, CPCParams
+    from speechflow_tpu.utils.state_io import save_module
+
+    cpc_p = CPCParams(channels=16, latent_dim=8, context_dim=12)
+    cpc_ckpt = save_module(CPCModel(cpc_p, rngs=nnx.Rngs(0)), cpc_p,
+                           tmp_path / "cpc.pkl")
+    bio_p = ECAPAParams(n_mels=40, channels=16, emb_dim=16, n_blocks=1)
+    bio_ckpt = save_module(ECAPAEmbedder(bio_p, rngs=nnx.Rngs(1)), bio_p,
+                           tmp_path / "bio.pkl")
+
+    p = VocosParams(dim=64, n_layers=2, n_mels=40)
+    gen = Vocos(p, rngs=nnx.Rngs(0))
+    disc = VocoderDiscriminator(periods=(2,), resolutions=((512, 128),), channels=8,
+                                rngs=nnx.Rngs(1))
+    crit = vocoder_gen_criterion(SR, n_mels=40, cpc_ckpt=str(cpc_ckpt),
+                                 bio_ckpt=str(bio_ckpt))
+    wav = jnp.asarray(_wav_batch(rng))
+    out = gen({"waveform": wav})
+    losses = crit(out, disc, {"waveform": wav}, {"waveform": wav}, jnp.asarray(0))
+    assert "cpc" in losses and "spk_sim" in losses
+    assert np.isfinite(float(losses["cpc"])) and float(losses["cpc"]) >= 0
+    assert 0.0 <= float(losses["spk_sim"]) <= 2.0
+
+    # one GAN step with the perceptual losses: generator params move
+    gan = GANTrainer(
+        gen, disc, crit, vocoder_disc_criterion(), VocoderBatchProcessor(),
+        config=TrainerConfig(max_steps=1, log_every=10**9))
+    before = np.asarray(
+        jax.tree_util.tree_leaves(nnx.to_pure_dict(nnx.state(gen, nnx.Param)))[0]).copy()
+    m = gan.training_step({"waveform": np.asarray(wav)})
+    assert "gen/cpc" in m and "gen/spk_sim" in m
+    after = np.asarray(
+        jax.tree_util.tree_leaves(nnx.to_pure_dict(nnx.state(gen, nnx.Param)))[0])
+    assert not np.allclose(before, after)
