@@ -159,6 +159,7 @@ def test_overfit_real_batch(real_batch):
     assert last["spectral"] < first["spectral"] * 0.5, (first, last)
 
 
+@pytest.mark.slow
 def test_variance_predictor_with_discriminator(rng):
     """WithDiscriminator variant (reference: tokenlevel_predictor.py:214):
     LSGAN losses appear in additional_losses and are finite; inference
@@ -178,6 +179,7 @@ def test_variance_predictor_with_discriminator(rng):
     assert "aggregate_pitch_disc_loss" not in (inf.additional_losses or {})
 
 
+@pytest.mark.slow
 def test_gradtts_fa_in_model_aligner(rng):
     """GradTTS-FA (reference: gardtts_fa.py:86): trains without external
     durations; MAS durations sum to mel lengths; losses decrease under
@@ -213,6 +215,7 @@ def test_gradtts_fa_in_model_aligner(rng):
     assert inf.spectrogram.shape == (2, B, T, MELS)
 
 
+@pytest.mark.slow
 def test_cfm_batched_cfg_matches_sequential(rng):
     """The batched-CFG Euler solve (one doubled-batch estimator call) must
     match the sequential two-call formulation exactly."""
@@ -279,6 +282,7 @@ def test_new_encoders_forward_shapes(rng, enc):
 
 
 @pytest.mark.parametrize("enc", ["cbhg", "conformer", "sf", "ling_condition"])
+@pytest.mark.slow
 def test_new_encoders_in_model(rng, enc):
     params = _params(encoder_type=enc, encoder_layers=1)
     model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
@@ -293,6 +297,7 @@ def test_new_encoders_in_model(rng, enc):
     assert np.isfinite(np.asarray(out.spectrogram)).all()
 
 
+@pytest.mark.slow
 def test_gmvae_style_encoder(rng):
     """GMVAE style bottleneck (reference: style_encoder.py:141): losses
     present at train time, deterministic at inference, prior sampling works,
@@ -320,6 +325,7 @@ def test_gmvae_style_encoder(rng):
     assert "gmvae_cat" in out.additional_losses
 
 
+@pytest.mark.slow
 def test_condition_sources_lookup_and_detach(rng):
     """Multi-source condition lookup (reference: component.py:149
     get_condition): named sources + '<detach' modifier; detached sources

@@ -100,6 +100,7 @@ def test_vocoder_gan_training_improves(rng):
     assert last["gen/mel"] < first["gen/mel"] * 0.7, (first["gen/mel"], last["gen/mel"])
 
 
+@pytest.mark.slow
 def test_gan_validation_metrics_and_disc_warmstart(rng, tmp_path):
     """GAN validation reports MCD/SI-SNR/periodicity every eval (VERDICT
     item 7) and the discriminator warm-starts from another run's checkpoint
@@ -218,6 +219,7 @@ def test_mos_proxy_tracks_degradation(tmp_path):
     assert "val/mos" in m and 1.0 <= m["val/mos"] <= 5.0
 
 
+@pytest.mark.slow
 def test_cpc_and_speaker_losses_in_gan(rng, tmp_path):
     """Perceptual losses from framework-trained models (reference:
     vocos/losses.py:273 SpeakerSimilarityLoss, :319 WavLMLoss): frozen
