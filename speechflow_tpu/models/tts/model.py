@@ -83,6 +83,7 @@ class ParallelTTSParams(BaseModelParams):
     encoder_dim: int = 256
     encoder_layers: int = 4
     encoder_heads: int = 4
+    use_remat: bool = False              # jax.checkpoint per encoder block
 
     variances: tp.Tuple[dict, ...] = (
         {"name": "aggregate_pitch", "as_embedding": False},
@@ -160,7 +161,7 @@ class ParallelTTSModel(nnx.Module):
         self.encoder = TTS_ENCODERS[p.encoder_type](
             dim_in=content_dim, dim_out=p.encoder_dim, dim=p.encoder_dim,
             n_layers=p.encoder_layers, n_heads=p.encoder_heads,
-            cond_dim=cond_dim, dropout=p.dropout,
+            cond_dim=cond_dim, dropout=p.dropout, use_remat=p.use_remat,
             ling_feat_dim=p.ling_feat_dim, lm_feat_dim=p.lm_feat_dim, rngs=rngs)
         make_cond(1, p.encoder_dim)
 

@@ -366,3 +366,33 @@ def test_condition_sources_lookup_and_detach(rng):
     opt.update(model, grads)
     after = np.asarray(model.speaker_emb.embedding[...])
     assert not np.allclose(before, after)  # speaker table received gradient
+
+
+def test_remat_encoder_parity(rng):
+    """use_remat (jax.checkpoint per block) must not change outputs or
+    gradients — only the autodiff memory/recompute tradeoff."""
+    import jax
+    from speechflow_tpu.models.tts.encoders import TransformerEncoder
+
+    x = jnp.asarray(rng.normal(size=(2, 24, 32)).astype(np.float32))
+    lens = jnp.asarray([24, 18], jnp.int32)
+
+    def build(remat):
+        return TransformerEncoder(dim_in=32, dim_out=32, dim=32, n_layers=2,
+                                  n_heads=2, dropout=0.0, use_remat=remat,
+                                  rngs=nnx.Rngs(0))
+
+    e0, e1 = build(False), build(True)
+    y0 = e0(x, lens, deterministic=True)
+    y1 = e1(x, lens, deterministic=True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-6)
+
+    def loss(enc):
+        return jnp.sum(enc(x, lens, deterministic=True) ** 2)
+
+    g0 = nnx.grad(loss)(e0)
+    g1 = nnx.grad(loss)(e1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        if hasattr(a, "shape"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
