@@ -178,11 +178,16 @@ class VQEncoder(nnx.Module):
 
 
 class ContextEncoder(nnx.Module):
-    """Parallel sub-encoders whose outputs are concatenated
-    (reference ContextEncoder, encoders/context_encoder.py:26)."""
+    """Parallel sub-encoders over the same content
+    (reference ContextEncoder, encoders/context_encoder.py:26).
+    ``concat=True`` (default) concatenates the sub-encoder outputs into one
+    stream; ``concat=False`` returns them as a LIST of content streams — the
+    reference's multi-stream content-list contract, consumed by the variance
+    adaptor's per-stream routing (VarianceConfig.input_stream /
+    cat_to_streams)."""
 
     def __init__(self, dim_in: int, dim_out: int, sub_types: tp.Sequence[str] = ("cnn", "transformer"),
-                 dim: int = 256, rngs: nnx.Rngs = None, **kw):
+                 dim: int = 256, concat: bool = True, rngs: nnx.Rngs = None, **kw):
         rngs = rngs or nnx.Rngs(0)
         per = dim_out // len(sub_types)
         dims = [per] * (len(sub_types) - 1) + [dim_out - per * (len(sub_types) - 1)]
@@ -190,11 +195,15 @@ class ContextEncoder(nnx.Module):
             TTS_ENCODERS[t](dim_in=dim_in, dim_out=d, dim=dim, rngs=rngs)
             for t, d in zip(sub_types, dims)
         ])
-        self.dim_out = dim_out
+        self.concat = concat
+        self.stream_dims = dims
+        self.dim_out = dim_out if concat else dims
 
     def __call__(self, x, lengths=None, cond=None, deterministic=True):
         outs = [s(x, lengths, cond, deterministic=deterministic) for s in self.subs]
-        return jnp.concatenate(outs, axis=-1)
+        if self.concat:
+            return jnp.concatenate(outs, axis=-1)
+        return outs
 
 
 class _Highway(nnx.Module):

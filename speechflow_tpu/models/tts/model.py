@@ -84,6 +84,10 @@ class ParallelTTSParams(BaseModelParams):
     encoder_layers: int = 4
     encoder_heads: int = 4
     use_remat: bool = False              # jax.checkpoint per encoder block
+    # for encoder_type "context": parallel sub-encoders; concat=False keeps
+    # them as separate content streams for per-stream variance routing
+    encoder_sub_types: tp.Tuple[str, ...] = ("cnn", "transformer")
+    encoder_concat_streams: bool = True
 
     variances: tp.Tuple[dict, ...] = (
         {"name": "aggregate_pitch", "as_embedding": False},
@@ -162,13 +166,15 @@ class ParallelTTSModel(nnx.Module):
             dim_in=content_dim, dim_out=p.encoder_dim, dim=p.encoder_dim,
             n_layers=p.encoder_layers, n_heads=p.encoder_heads,
             cond_dim=cond_dim, dropout=p.dropout, use_remat=p.use_remat,
+            sub_types=p.encoder_sub_types, concat=p.encoder_concat_streams,
             ling_feat_dim=p.ling_feat_dim, lm_feat_dim=p.lm_feat_dim, rngs=rngs)
         make_cond(1, p.encoder_dim)
 
         # -- variance adaptor ----------------------------------------------------------
         var_cfgs = [VarianceConfig(**v) for v in p.variances]
+        enc_out_dim = getattr(self.encoder, "dim_out", p.encoder_dim)
         self.variance_adaptor = HierarchicalVarianceAdaptor(
-            p.encoder_dim, var_cfgs, soft_length_regulator=p.soft_length_regulator,
+            enc_out_dim, var_cfgs, soft_length_regulator=p.soft_length_regulator,
             max_output_length=p.max_output_length, rngs=rngs)
         va_dim = self.variance_adaptor.dim_out
         make_cond(2, va_dim)
@@ -309,7 +315,14 @@ class ParallelTTSModel(nnx.Module):
         elif p.encoder_type == "ling_condition":
             enc_kwargs = {"ling_feat": inputs.ling_feat, "lm_feat": inputs.lm_feat}
         x = self.encoder(x, tok_lens, cond, deterministic=not training, **enc_kwargs)
-        x = self._cond(1, x, cond)
+        if isinstance(x, list):
+            # multi-stream content (ContextEncoder concat=False): level-1
+            # conditioning applies per stream when dims match the layer
+            if 1 in self._cond_levels:
+                x = [self._cond(1, s, cond) if s.shape[-1] == self.p.encoder_dim
+                     else s for s in x]
+        else:
+            x = self._cond(1, x, cond)
 
         if t_out is None:
             t_out = inputs.mel.shape[1] if inputs.mel is not None else p.max_output_length

@@ -396,3 +396,48 @@ def test_remat_encoder_parity(rng):
         if hasattr(a, "shape"):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_multi_stream_content_routing(rng):
+    """Multi-stream content (reference: ComponentInput content lists +
+    hierarchical_va.py input_content/cat_to_content routing): ContextEncoder
+    emits separate streams; each variance reads from and conditions its
+    configured stream; durations regulate every stream."""
+    from speechflow_tpu.models.tts.variance_adaptor import (
+        HierarchicalVarianceAdaptor,
+        VarianceConfig,
+    )
+
+    # VA-level: pitch on stream 0, energy read from stream 1 but cat to both
+    va = HierarchicalVarianceAdaptor(
+        [24, 16],
+        [VarianceConfig(name="aggregate_pitch", input_stream=0),
+         VarianceConfig(name="aggregate_energy", input_stream=1,
+                        cat_to_streams=(0, 1)),
+         VarianceConfig(name="durations", input_stream=0)],
+        max_output_length=T, rngs=nnx.Rngs(0))
+    # stream dims: s0 = 24 +1(pitch) +1(energy) = 26; s1 = 16 +1(energy) = 17
+    assert va.dim_out == 26 + 17
+    inputs = _inputs(rng)
+    s0 = jnp.asarray(rng.normal(size=(B, N, 24)).astype(np.float32))
+    s1 = jnp.asarray(rng.normal(size=(B, N, 16)).astype(np.float32))
+    x, out_lens, preds, attn, losses = va(
+        [s0, s1], inputs.transcription_lengths, inputs, T, training=True)
+    assert x.shape == (B, T, 43)
+    assert set(preds) >= {"aggregate_pitch", "aggregate_energy", "durations"}
+
+    # model-level: context encoder with concat=False
+    params = _params(encoder_type="context", encoder_concat_streams=False,
+                     encoder_sub_types=("cnn", "rnn"),
+                     variances=(
+                         {"name": "aggregate_pitch", "input_stream": 0},
+                         {"name": "aggregate_energy", "input_stream": 1},
+                         {"name": "durations"},
+                     ))
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    out = model(_inputs(rng), training=True)
+    assert out.spectrogram.shape == (2, B, T, MELS)
+    assert np.isfinite(np.asarray(out.spectrogram)).all()
+    inf = model.inference(_inputs(rng), t_out=T)
+    assert np.isfinite(np.asarray(inf.spectrogram)).all()
