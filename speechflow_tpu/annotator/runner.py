@@ -36,19 +36,34 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
     p.add_argument("--lang", default="EN")
     p.add_argument("--use_whisper", action="store_true",
                    help="run Whisper ASR instead of reading .whisper sidecars")
+    p.add_argument("--asr", default=None,
+                   help="ASR backend: 'file' (default), 'whisper', or "
+                        "'ctc:<checkpoint.pkl>' (framework CTC recognizer)")
     args = p.parse_args(argv)
 
     data_root, out_root = Path(args.data_root), Path(args.output_root)
     out_root.mkdir(parents=True, exist_ok=True)
     report: dict = {}
 
-    from speechflow_tpu.annotator.asr import FileASR, WhisperASR, run_audio_transcription
+    from speechflow_tpu.annotator.asr import (
+        CTCPhonemeASR,
+        FileASR,
+        WhisperASR,
+        run_audio_transcription,
+    )
     from speechflow_tpu.annotator.seg_generator import SegGenerator
 
-    asr = WhisperASR() if args.use_whisper else FileASR()
+    asr_spec = args.asr or ("whisper" if args.use_whisper else "file")
+    if asr_spec.startswith("ctc:"):
+        asr = CTCPhonemeASR(asr_spec.split(":", 1)[1])
+    elif asr_spec == "whisper":
+        asr = WhisperASR()
+    else:
+        asr = FileASR()
+    runs_asr = not isinstance(asr, FileASR)
 
     if 0 in args.steps:
-        n = run_audio_transcription(data_root, asr=asr) if args.use_whisper else \
+        n = run_audio_transcription(data_root, asr=asr) if runs_asr else \
             len(list(Path(data_root).rglob("*.whisper")))
         report["transcribed"] = n
         LOGGER.info("step 0: %d transcripts", n)

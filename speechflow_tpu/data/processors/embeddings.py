@@ -49,6 +49,14 @@ def set_codec_model(encode: tp.Callable[[np.ndarray, int], np.ndarray]) -> None:
     _MODELS["codec"] = encode
 
 
+def _pad_to_multiple(wav: np.ndarray, multiple: int) -> tp.Tuple[np.ndarray, int]:
+    """Pad to a length bucket so the jitted model hooks compile once per
+    bucket instead of once per utterance length."""
+    n = len(wav)
+    m = ((n + multiple - 1) // multiple) * multiple
+    return (np.pad(wav, (0, m - n)) if m != n else wav), n
+
+
 def _fallback_embedding(wav: np.ndarray, sr: int, dim: int = 192) -> np.ndarray:
     """Deterministic spectral-statistics embedding (stands in for a speaker
     model so multi-speaker pipelines run without pretrained weights)."""
@@ -75,13 +83,22 @@ def make_ecapa_hook(ckpt_path: str, n_fft: int = 1024,
     from speechflow_tpu.models.biometric import ECAPAEmbedder, ECAPAParams
     from speechflow_tpu.utils.state_io import load_module
 
+    import jax
+    from flax import nnx
+
     model, params = load_module(ECAPAEmbedder, ECAPAParams, ckpt_path)
     n_mels = params.n_mels  # the featurization the embedder was trained on
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def _embed(state, mel):
+        return nnx.merge(graphdef, state)(mel)
 
     def fn(wav: np.ndarray, sr: int) -> np.ndarray:
+        wav, _ = _pad_to_multiple(wav, hop_len * 64)
         mag = np_dsp.magnitude_np(wav, n_fft, hop_len)
         mel = np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, sr, n_mels))
-        emb = np.asarray(model(jnp.asarray(mel[None])))[0]
+        emb = np.asarray(_embed(state, jnp.asarray(mel[None])))[0]
         return emb / max(np.linalg.norm(emb), 1e-9)
 
     return fn
@@ -96,12 +113,23 @@ def make_codec_hook(ckpt_path: str) -> tp.Callable:
     from speechflow_tpu.models.codec import CodecParams, NeuralCodec
     from speechflow_tpu.utils.state_io import load_module
 
+    import jax
+    from flax import nnx
+
     model, params = load_module(NeuralCodec, CodecParams, ckpt_path)
+    hop = model.hop
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def _encode(state, wav):
+        m = nnx.merge(graphdef, state)
+        q, _, _ = m.rvq(m.encode_latent(wav))
+        return q
 
     def encode(wav: np.ndarray, sr: int) -> np.ndarray:
-        z = model.encode_latent(jnp.asarray(wav[None]))
-        q, _, _ = model.rvq(z)
-        return np.asarray(q)[0]
+        padded, n = _pad_to_multiple(wav, hop * 64)
+        q = np.asarray(_encode(state, jnp.asarray(padded[None])))[0]
+        return q[: max(n // hop, 1)]
 
     return encode
 
@@ -140,10 +168,21 @@ def make_cpc_hook(ckpt_path: str) -> tp.Callable:
     from speechflow_tpu.models.ssl import CPCModel, CPCParams
     from speechflow_tpu.utils.state_io import load_module
 
+    import jax
+    from flax import nnx
+
     model, params = load_module(CPCModel, CPCParams, ckpt_path)
+    hop = model.hop
+    graphdef, state = nnx.split(model)
+
+    @jax.jit
+    def _feats(state, wav):
+        return nnx.merge(graphdef, state)(wav)
 
     def fn(wav: np.ndarray, sr: int) -> np.ndarray:
-        return np.asarray(model(jnp.asarray(wav[None])))[0]
+        padded, n = _pad_to_multiple(wav, hop * 64)
+        f = np.asarray(_feats(state, jnp.asarray(padded[None])))[0]
+        return f[: max(n // hop, 1)]
 
     return fn
 
