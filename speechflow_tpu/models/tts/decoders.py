@@ -122,7 +122,9 @@ class CFMDecoder(nnx.Module):
         mu = self.prior(content)
         n_steps = n_timesteps or self.n_timesteps
         key = key if key is not None else self.rngs.params()
-        z = jax.random.normal(key, mu.shape) * self.temperature
+        # noise follows the prior's dtype: with bf16 weights the whole Euler
+        # solve stays bf16 (f32 noise would promote every matmul back to f32)
+        z = jax.random.normal(key, mu.shape, dtype=mu.dtype) * self.temperature
 
         # cosine time grid 1 - cos(pi/2 * s)
         s = jnp.linspace(0.0, 1.0, n_steps + 1)
