@@ -54,5 +54,8 @@ class VocoderEvaluationInterface:
 
     def resynthesize(self, audio: AudioChunk) -> AudioChunk:
         wav = jnp.asarray(audio.load(sr=self.sample_rate).waveform)[None]
-        out = np.asarray(self.model({"waveform": wav}))[0]
+        out = self.model({"waveform": wav})
+        if isinstance(out, tuple):  # codec/tts extractors return (wav, losses)
+            out = out[0]
+        out = np.asarray(out)[0]
         return AudioChunk(data=np.clip(out, -1.0, 1.0), sr=self.sample_rate)

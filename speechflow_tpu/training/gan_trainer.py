@@ -185,8 +185,8 @@ class GANTrainer:
         for _ in range(self.cfg.val_batches):
             try:
                 m = self.validation_step(get_next())
-            except StopIteration:
-                break
+            except (StopIteration, TimeoutError):
+                break  # exhausted or starved val loader must not kill training
             for k, v in m.items():
                 agg.setdefault(k, []).append(v)
         return {k: float(np.mean(v)) for k, v in agg.items()}

@@ -203,8 +203,8 @@ class Trainer:
         for _ in range(self.cfg.val_batches):
             try:
                 m = self.validation_step(get_next())
-            except StopIteration:
-                break
+            except (StopIteration, TimeoutError):
+                break  # exhausted or starved val loader must not kill training
             for k, v in m.items():
                 metrics.setdefault(k, []).append(v)
         return {k: float(np.mean(v)) for k, v in metrics.items()}

@@ -260,3 +260,23 @@ def test_cpc_and_speaker_losses_in_gan(rng, tmp_path):
     after = np.asarray(
         jax.tree_util.tree_leaves(nnx.to_pure_dict(nnx.state(gen, nnx.Param)))[0])
     assert not np.allclose(before, after)
+
+
+def test_resynthesize_unwraps_tuple_extractors(rng):
+    """Codec/TTS feature extractors return (wav, losses); the vocoder eval
+    interface's resynthesize must unwrap before converting to audio."""
+    from types import SimpleNamespace
+
+    from speechflow_tpu.interface.vocoder_interface import VocoderEvaluationInterface
+    from speechflow_tpu.io import AudioChunk
+
+    p = VocosParams(dim=32, n_layers=1, n_mels=40, feature_extractor="codec",
+                    hop_length=128,
+                    codec_params={"channels": 8, "latent_dim": 16,
+                                  "strides": [4, 4, 8], "n_quantizers": 2,
+                                  "codebook_size": 32})
+    model = Vocos(p, rngs=nnx.Rngs(0))
+    duck = SimpleNamespace(model=model, sample_rate=SR)
+    chunk = AudioChunk(data=rng.uniform(-0.3, 0.3, 12800).astype(np.float32), sr=SR)
+    out = VocoderEvaluationInterface.resynthesize(duck, chunk)
+    assert len(out) > 0 and np.isfinite(out.waveform).all()
