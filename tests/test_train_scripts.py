@@ -198,6 +198,7 @@ RECIPES = [
     ("vocoder_bigvgan.yml", "vocoder_data_24khz.yml", "voc"),  # mel_bigvgan
     ("vocoder_mel_dac.yml", "vocoder_data_24khz.yml", "voc"),  # mel_dac (RVQ latents)
     ("vocoder_styletts2_e2e.yml", "tts_data_24khz.yml", "voc"),  # styletts2 E2E GAN-TTS
+    ("vocoder_styletts2_e2e_ft.yml", "tts_data_24khz.yml", "voc"),  # ft variant
 ]
 
 
