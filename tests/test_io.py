@@ -237,3 +237,34 @@ def test_serialize_roundtrip():
     assert np.array_equal(back["x"], obj["x"]) and back["y"] == obj["y"]
     blobs = Serialize.dumps([1, 2, 3])
     assert Serialize.loads(blobs) == [1, 2, 3]
+
+
+def test_all_reference_segas_parse_and_roundtrip(tmp_path):
+    """Every TextGridStage3 in the reference mini corpus parses, carries
+    aligned phoneme/word tiers, and survives a save/load round trip with
+    identical tier contents — corpus-wide parser parity, not one golden file."""
+    import glob
+
+    paths = sorted(glob.glob(
+        "/root/reference/examples/simple_datasets/speech/SEGS/**/*.TextGridStage3",
+        recursive=True))
+    if not paths:
+        pytest.skip("reference data unavailable")
+    assert len(paths) >= 40
+    for i, p in enumerate(paths):
+        seg = AudioSeg.load(p)
+        assert seg.lang in ("EN", "RU") and seg.speaker_name
+        phs = seg.phonemes()
+        assert len(phs) > 0
+        ts = seg.phoneme_timestamps()
+        assert len(ts) == len(phs)
+        # timestamps are monotone within the utterance
+        iv = np.asarray(ts.intervals)
+        assert (iv[:, 1] >= iv[:, 0] - 1e-9).all()
+        assert (iv[1:, 0] >= iv[:-1, 0] - 1e-9).all()
+        # round trip preserves every tier's labels
+        out = tmp_path / f"{i}.TextGridStage3"
+        seg.save(out)
+        back = AudioSeg.load(out)
+        for tier in seg.grid.tiers:
+            assert tier.labels == back.grid[tier.name].labels, (p, tier.name)
