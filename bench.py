@@ -17,7 +17,8 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = 32                # throughput sweet spot on v5e (swept 8/16/32/64:
+                          # 798/917/948/913 x realtime; 64 spills)
 N_TOKENS = 128
 T_FRAMES = 1024           # 1024 frames * 256 hop / 24 kHz = 10.92 s per utterance
 HOP = 256
