@@ -94,11 +94,18 @@ class PipelineComponents:
     def set_dataset(self, dataset: Dataset) -> None:
         self.dataset = dataset
 
-    def fit_singletons(self, shared: tp.Optional[tp.Dict[str, tp.Any]] = None) -> None:
+    def fit_singletons(self, shared: tp.Optional[tp.Dict[str, tp.Any]] = None,
+                       seed: tp.Optional[tp.Dict[str, dict]] = None) -> None:
         """Fit (or adopt pre-fitted) singleton handlers and apply to samples.
 
         Config may be a list of names or a mapping {name: kwargs}
         (e.g. StatisticsRange: {ranges_file: dump/ranges.json}).
+
+        ``seed`` maps handler name -> state_dict loaded BEFORE fit — the
+        resume/finetune path (reference: SpeakerIDSetter.resume_from_checkpoint,
+        config_prepare.py:241-268): a finetune on new data keeps the
+        checkpoint's speaker/lang ids stable and appends new entries instead
+        of permuting the embedding-table assignment.
         """
         spec = self.cfg.get("singleton_handlers", []) or []
         items = spec.items() if isinstance(spec, dict) else [(n, {}) for n in spec]
@@ -107,6 +114,8 @@ class PipelineComponents:
                 inst = shared[name]
             else:
                 inst = SINGLETON_HANDLERS[name](**dict(kwargs or {}))
+                if seed and name in seed:
+                    inst.load_state_dict(seed[name])
                 inst.fit(self.dataset)
             self.singletons[name] = inst
         for inst in self.singletons.values():
@@ -181,7 +190,8 @@ class DataPipeline:
     def with_ignored_handlers(self, handlers: tp.Set[str]) -> "DataPipeline":
         return DataPipeline(self.cfg, self.ignored_fields, self.ignored_handlers | handlers)
 
-    def init_components(self, datasets: tp.Optional[tp.Dict[str, Dataset]] = None) -> "DataPipeline":
+    def init_components(self, datasets: tp.Optional[tp.Dict[str, Dataset]] = None,
+                        seed_singletons: tp.Optional[tp.Dict[str, dict]] = None) -> "DataPipeline":
         from speechflow_tpu.data.core.singleton import Singleton
 
         # singletons are per-process by design (reference meta.py); a fresh
@@ -216,7 +226,7 @@ class DataPipeline:
 
         # fit singletons on the train subset, share with the others
         first = self.subsets[0]
-        self.components[first].fit_singletons()
+        self.components[first].fit_singletons(seed=seed_singletons)
         shared = self.components[first].singletons
         for subset in self.subsets[1:]:
             self.components[subset].fit_singletons(shared=shared)

@@ -68,8 +68,32 @@ def config_prepare(args) -> tp.Tuple[Config, Config, ExperimentSaver]:
     return model_cfg, data_cfg, saver
 
 
+def _resume_singletons(model_cfg: Config) -> tp.Optional[dict]:
+    """Singleton state from the source checkpoint when resuming/finetuning/
+    warmstarting — keeps speaker/lang id maps stable across runs (reference:
+    SpeakerIDSetter.resume_from_checkpoint, config_prepare.py:241-268)."""
+    src = (model_cfg.get_path("resume.from")
+           or model_cfg.get_path("finetune.from")
+           or model_cfg.get_path("warmstart.ckpt"))
+    if not src:
+        return None
+    from pathlib import Path
+
+    p = Path(str(src))
+    ckpt = p if (p / "_CHECKPOINT_METADATA").exists() or (p / "model").exists()         else ExperimentSaver.get_last_checkpoint(p)
+    if ckpt is None:
+        return None
+    try:
+        _, payload = ExperimentSaver.load_checkpoint(ckpt)
+        return (payload.get("pipeline_info") or {}).get("singletons")
+    except Exception:  # noqa: BLE001 — resume still works without seeding
+        LOGGER.warning("could not read singleton state from %s", ckpt)
+        return None
+
+
 def build_data(data_cfg: Config, model_cfg: Config) -> tp.Tuple[DataPipeline, LoaderBundle]:
-    pipeline = DataPipeline(data_cfg).init_components()
+    pipeline = DataPipeline(data_cfg).init_components(
+        seed_singletons=_resume_singletons(model_cfg))
     dl_cfg = model_cfg.section("data_loaders")
     bundle = init_data_loader(
         pipeline=pipeline,

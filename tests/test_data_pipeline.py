@@ -260,3 +260,47 @@ def test_fade_invert_frame_transcription_processors():
     ds2 = get_handler("transcription_by_frames")(ds2)
     np.testing.assert_array_equal(ds2.additional["transcription_by_frames"],
                                   [5, 5, 7, 7, 7])
+
+
+def test_singleton_seed_keeps_speaker_ids_stable():
+    """Resume/finetune singleton seeding (reference:
+    SpeakerIDSetter.resume_from_checkpoint, config_prepare.py:241-268): the
+    checkpoint's speaker/lang ids survive a refit on new data; new speakers
+    append instead of permuting the embedding-table assignment."""
+    from speechflow_tpu.data.core.components import DataPipeline
+
+    def make_ds(speakers):
+        samples = []
+        for i, spk in enumerate(speakers):
+            s = TTSDataSample(index=i)
+            s.speaker_name = spk
+            s.lang = "EN"
+            samples.append(s)
+        return Dataset(samples)
+
+    from speechflow_tpu.data.core.datasample import TTSDataSample
+
+    cfg = Config({"dataset": {"subsets": ["train"]},
+                  "singleton_handlers": ["SpeakerIDSetter"],
+                  "preproc": {"pipe": []}})
+    dp1 = DataPipeline(cfg)
+    dp1.init_components(datasets={"train": make_ds(["zeta", "alpha", "mid"])})
+    state1 = dp1["train"].singletons["SpeakerIDSetter"].state_dict()
+    ids1 = dict(state1["speaker2id"])
+    assert set(ids1) == {"zeta", "alpha", "mid"}
+
+    # new corpus: one speaker gone, one new, names that would sort earlier
+    dp2 = DataPipeline(Config(cfg))
+    dp2.init_components(datasets={"train": make_ds(["alpha", "aaa_new", "zeta"])},
+                        seed_singletons={"SpeakerIDSetter": state1})
+    ids2 = dp2["train"].singletons["SpeakerIDSetter"].state_dict()["speaker2id"]
+    # old ids unchanged (no permutation), new speaker appended at the end
+    for k, v in ids1.items():
+        assert ids2[k] == v, (k, ids1, ids2)
+    assert ids2["aaa_new"] == len(ids1)
+
+    # unseeded refit WOULD permute (sanity check that the test is meaningful)
+    dp3 = DataPipeline(Config(cfg))
+    dp3.init_components(datasets={"train": make_ds(["alpha", "aaa_new", "zeta"])})
+    ids3 = dp3["train"].singletons["SpeakerIDSetter"].state_dict()["speaker2id"]
+    assert ids3 != {k: ids2[k] for k in ids3}
