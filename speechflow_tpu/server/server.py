@@ -101,6 +101,34 @@ class DataServer(ProcessWorker):
             frames = self.backend.recv_multipart()
             self._on_backend(frames[0], pickle.loads(frames[-1]))
         self._dispatch()
+        self._status_info()
+
+    def _status_info(self, every_s: float = 600.0) -> None:
+        """Periodic host/broker status line (reference: server.py:142
+        status_info — subscribers, batches prepared, CPU/memory)."""
+        import time as _time
+
+        now = _time.time()
+        last = getattr(self, "_last_status_ts", None)
+        if last is None:
+            self._last_status_ts = now
+            self._batches_done = getattr(self, "_batches_done", 0)
+            return
+        if now - last < every_s:
+            return
+        self._last_status_ts = now
+        try:
+            import psutil
+
+            mem = psutil.virtual_memory()
+            LOGGER.info(
+                "data server status: workers=%d queued=%d inflight=%d "
+                "cpu=%.0f%% mem_avail=%.0f%%",
+                len(self.known_workers), len(self.tasks), len(self.inflight),
+                psutil.cpu_percent(), mem.available * 100.0 / mem.total)
+        except Exception:  # noqa: BLE001 — status is best-effort
+            LOGGER.info("data server status: workers=%d queued=%d inflight=%d",
+                        len(self.known_workers), len(self.tasks), len(self.inflight))
 
     def _on_frontend(self, ident: bytes, msg: dict) -> None:
         mtype = msg.get("type")
