@@ -321,7 +321,7 @@ class ConformerEncoder(nnx.Module):
 
     def __init__(self, dim_in: int, dim_out: int, dim: int = 256, n_layers: int = 4,
                  n_heads: int = 4, kernel_size: int = 7, dropout: float = 0.1,
-                 rngs: nnx.Rngs = None, **kw):
+                 use_remat: bool = False, rngs: nnx.Rngs = None, **kw):
         rngs = rngs or nnx.Rngs(0)
         self.pre = nnx.Linear(dim_in, dim, rngs=rngs) if dim_in != dim else None
         self.blocks = nnx.List([
@@ -330,13 +330,18 @@ class ConformerEncoder(nnx.Module):
         ])
         self.post = nnx.Linear(dim, dim_out, rngs=rngs) if dim != dim_out else None
         self.dim_out = dim_out
+        self.use_remat = use_remat
 
     def __call__(self, x, lengths=None, cond=None, deterministic=True):
         if self.pre is not None:
             x = self.pre(x)
         mask = sequence_mask(lengths, x.shape[1]) if lengths is not None else None
         for blk in self.blocks:
-            x = blk(x, mask, deterministic=deterministic)
+            if self.use_remat:
+                x = nnx.remat(
+                    lambda b, h: b(h, mask, deterministic=deterministic))(blk, x)
+            else:
+                x = blk(x, mask, deterministic=deterministic)
         if self.post is not None:
             x = self.post(x)
         return apply_mask(x, mask) if mask is not None else x
