@@ -73,7 +73,7 @@ def _resume_singletons(model_cfg: Config) -> tp.Optional[dict]:
     warmstarting — keeps speaker/lang id maps stable across runs (reference:
     SpeakerIDSetter.resume_from_checkpoint, config_prepare.py:241-268)."""
     src = (model_cfg.get_path("resume.from")
-           or model_cfg.get_path("finetune.from")
+           or model_cfg.get_path("finetune.ckpt")
            or model_cfg.get_path("warmstart.ckpt"))
     if not src:
         return None
