@@ -2,10 +2,14 @@
 
 Capability parity with the reference encoders
 (tts/acoustic_models/modules/components/encoders/): CNNEncoder, RNNEncoder
-(bi-GRU), TransformerEncoder (FFT blocks), DiTEncoder (AdaNorm-conditioned
-transformer), VarianceEncoder (encoder over content + variance embedding),
-VQEncoder (VQ bottleneck ± adversarial classification), ContextEncoder
-(parallel sub-encoders over content streams), DummyEncoder. Registered by
+(bi-GRU), TransformerEncoder (FFT blocks, optional per-block remat),
+DiTEncoder (AdaNorm-conditioned transformer), CBHGEncoder (conv bank +
+highways), ConformerEncoder (macaron blocks + depthwise conv),
+VarianceEncoder (multi-kernel convs + bi-LSTM), SFEncoder (source-filter
+streams over pitch/energy embeddings), LinguisticConditionEncoder
+(ling/LM-feature ConditionalLayers before a base encoder), VQEncoder (VQ
+bottleneck ± adversarial classification), ContextEncoder (parallel
+sub-encoders; concat or multi-stream output), DummyEncoder. Registered by
 name in ``TTS_ENCODERS`` (ComponentCollection analogue,
 speechflow/training/utils/collection.py:8).
 """
