@@ -200,16 +200,19 @@ def aug_vtlp(ds: AudioDataSample, p: float = 0.3, alpha_min: float = 0.9,
     _, _, S = sp_stft(wav, fs=sr, nperseg=n_fft, noverlap=3 * n_fft // 4)
     K = S.shape[0]
 
-    f = np.linspace(0, sr, K)
+    # one-sided STFT bins span 0..sr/2; mapping warped frequencies through
+    # that same range keeps the effective warp factor equal to alpha (the
+    # previous 0..sr axis + max-renormalisation skewed it, advisor r2)
+    fs_half = sr / 2.0
+    f = np.linspace(0, fs_half, K)
     scale = fhi * min(alpha, 1.0)
     f_boundary = scale / alpha
-    fs_half = sr // 2
     f_warp = np.where(
         f <= f_boundary,
         f * alpha,
         fs_half - (fs_half - scale) / (fs_half - scale / alpha) * (fs_half - f),
     )
-    f_warp = f_warp * (K - 1) / f_warp.max()
+    f_warp = np.clip(f_warp, 0.0, fs_half) * (K - 1) / fs_half
 
     lo = np.floor(f_warp).astype(np.int64)
     w_up = (f_warp - lo).astype(S.real.dtype)

@@ -91,14 +91,18 @@ def make_ecapa_hook(ckpt_path: str, n_fft: int = 1024,
     graphdef, state = nnx.split(model)
 
     @jax.jit
-    def _embed(state, mel):
-        return nnx.merge(graphdef, state)(mel)
+    def _embed(state, mel, lengths):
+        return nnx.merge(graphdef, state)(mel, lengths)
 
     def fn(wav: np.ndarray, sr: int) -> np.ndarray:
+        n_valid = len(wav) // hop_len  # frames of real (unpadded) audio
         wav, _ = _pad_to_multiple(wav, hop_len * 64)
         mag = np_dsp.magnitude_np(wav, n_fft, hop_len)
         mel = np_dsp.amp_to_db_np(np_dsp.linear_to_mel_np(mag, sr, n_mels))
-        emb = np.asarray(_embed(state, jnp.asarray(mel[None])))[0]
+        # bucketed padding keeps jit shapes bounded; masked pooling inside the
+        # embedder keeps the embedding invariant to that padding (advisor r2)
+        lens = jnp.asarray([min(max(n_valid, 1), mel.shape[0])], jnp.int32)
+        emb = np.asarray(_embed(state, jnp.asarray(mel[None]), lens))[0]
         return emb / max(np.linalg.norm(emb), 1e-9)
 
     return fn

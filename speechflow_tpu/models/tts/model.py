@@ -168,7 +168,16 @@ class ParallelTTSModel(nnx.Module):
             cond_dim=cond_dim, dropout=p.dropout, use_remat=p.use_remat,
             sub_types=p.encoder_sub_types, concat=p.encoder_concat_streams,
             ling_feat_dim=p.ling_feat_dim, lm_feat_dim=p.lm_feat_dim, rngs=rngs)
-        make_cond(1, p.encoder_dim)
+        stream_dims = getattr(self.encoder, "stream_dims", None)
+        if 1 in p.condition_levels and stream_dims is not None                 and not p.encoder_concat_streams:
+            # multi-stream content: one ConditionalLayer per stream, sized to
+            # that stream's dim (advisor r2: dims rarely equal encoder_dim,
+            # so a single level-1 layer was silently skipped)
+            for i, d in enumerate(stream_dims):
+                self.conds[f"level1_stream{i}"] = ConditionalLayer(
+                    p.condition_method, d, cond_dim, rngs=rngs)
+        else:
+            make_cond(1, p.encoder_dim)
 
         # -- variance adaptor ----------------------------------------------------------
         var_cfgs = [VarianceConfig(**v) for v in p.variances]
@@ -248,7 +257,19 @@ class ParallelTTSModel(nnx.Module):
             if v is None:
                 raise ValueError(f"condition source '{base}' missing from inputs")
             if v.ndim == 3:
-                v = jnp.mean(v, axis=1)
+                # masked time-average: padded frames must not drag the
+                # condition toward zero in bucketed batches (advisor r2).
+                # Length source: an explicit '<base>_lengths' field, else
+                # mel_lengths when the time axes line up.
+                lens = inputs.get(f"{base}_lengths")
+                if lens is None and inputs.mel is not None                         and inputs.mel_lengths is not None                         and v.shape[1] == inputs.mel.shape[1]:
+                    lens = inputs.mel_lengths
+                if lens is not None:
+                    m = sequence_mask(lens, v.shape[1])[..., None]
+                    v = jnp.sum(v * m, axis=1) / jnp.maximum(
+                        jnp.sum(m, axis=1), 1.0)
+                else:
+                    v = jnp.mean(v, axis=1)
         if mods and "detach" in mods[0]:
             v = jax.lax.stop_gradient(v)
         return v
@@ -316,11 +337,11 @@ class ParallelTTSModel(nnx.Module):
             enc_kwargs = {"ling_feat": inputs.ling_feat, "lm_feat": inputs.lm_feat}
         x = self.encoder(x, tok_lens, cond, deterministic=not training, **enc_kwargs)
         if isinstance(x, list):
-            # multi-stream content (ContextEncoder concat=False): level-1
-            # conditioning applies per stream when dims match the layer
+            # multi-stream content (ContextEncoder concat=False): per-stream
+            # ConditionalLayers built in __init__ against stream_dims
             if 1 in self._cond_levels:
-                x = [self._cond(1, s, cond) if s.shape[-1] == self.p.encoder_dim
-                     else s for s in x]
+                x = [self.conds[f"level1_stream{i}"](s, cond)
+                     for i, s in enumerate(x)]
         else:
             x = self._cond(1, x, cond)
 

@@ -41,8 +41,16 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 def shard_batch(batch: tp.Any, mesh: Mesh, axis: str = "data") -> tp.Any:
     """Place every array leaf with its leading dim sharded over ``axis``.
 
-    Non-array leaves pass through; scalars are replicated.
+    Non-array leaves pass through; scalars are replicated. Under
+    jax.distributed (process_count > 1) each process holds only its local
+    slice of the batch; the leaves are then stitched into global arrays with
+    ``make_array_from_process_local_data`` (parallel/distributed.py).
     """
+    if jax.process_count() > 1:
+        from speechflow_tpu.parallel.distributed import global_batch
+
+        return global_batch(batch, mesh, axis=axis)
+
     def put(x):
         if hasattr(x, "ndim") and getattr(x, "ndim", 0) >= 1:
             spec = P(axis, *([None] * (x.ndim - 1)))

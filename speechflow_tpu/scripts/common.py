@@ -44,10 +44,21 @@ def train_arguments() -> argparse.ArgumentParser:
 
 
 def config_prepare(args) -> tp.Tuple[Config, Config, ExperimentSaver]:
+    from speechflow_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     if getattr(args, "platform", None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # multi-host entry (reference DDP launch, helpers.py:154-188): env-driven
+    # jax.distributed init makes jax.devices() the global device list; a
+    # single-process run without SPEECHFLOW_COORDINATOR is unaffected
+    from speechflow_tpu.parallel.distributed import init_distributed
+
+    rank, world = init_distributed()
+    if world > 1:
+        LOGGER.info("multi-host training: rank %d of %d", rank, world)
     model_cfg = Config.create_from_file(args.model_config, value_select=args.value_select)
     data_cfg = Config.create_from_file(args.data_config, value_select=args.value_select)
     if args.data_root:
@@ -92,12 +103,40 @@ def _resume_singletons(model_cfg: Config) -> tp.Optional[dict]:
 
 
 def build_data(data_cfg: Config, model_cfg: Config) -> tp.Tuple[DataPipeline, LoaderBundle]:
+    import jax
+
+    dl_cfg = model_cfg.section("data_loaders")
+    global_bs = int(model_cfg.get_path("batch.size", 8))
+    if jax.process_count() > 1:
+        # rank0 hosts the DataServer for all ranks; the configured batch size
+        # is the GLOBAL batch — each rank's loader pulls its 1/world share
+        from speechflow_tpu.server import init_data_loader_distributed
+
+        local_bs = max(global_bs // jax.process_count(), 1)
+        pipeline = None
+        if jax.process_index() == 0:
+            pipeline = DataPipeline(data_cfg).init_components(
+                seed_singletons=_resume_singletons(model_cfg))
+        bundle = init_data_loader_distributed(
+            pipeline=pipeline,
+            batch_size=local_bs,
+            n_workers=int(dl_cfg.get("n_workers", 2)),
+            prefetch_factor=int(dl_cfg.get("prefetch_factor", 8)),
+        )
+        if pipeline is None:
+            # non-root ranks rebuild pipeline metadata (alphabet, singleton
+            # state) from the server's info blob for model_config_from_info
+            from speechflow_tpu.server.client import DataClient
+
+            with DataClient(bundle.loaders[next(iter(bundle.loaders))].server_addr) as c:
+                pipeline = DataPipeline.from_info(c.info)
+        return pipeline, bundle
+
     pipeline = DataPipeline(data_cfg).init_components(
         seed_singletons=_resume_singletons(model_cfg))
-    dl_cfg = model_cfg.section("data_loaders")
     bundle = init_data_loader(
         pipeline=pipeline,
-        batch_size=int(model_cfg.get_path("batch.size", 8)),
+        batch_size=global_bs,
         n_workers=int(dl_cfg.get("n_workers", 2)),
         prefetch_factor=int(dl_cfg.get("prefetch_factor", 8)),
     )

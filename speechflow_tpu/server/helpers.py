@@ -4,14 +4,21 @@ Capability parity with the reference helpers
 (speechflow/data_server/helpers.py:56,141,218,341): ``init_data_loader`` spins
 up a DataServer process + worker pool + per-subset DataLoaders from a built
 pipeline (or config path) and returns a bundle handling shutdown;
-``get_dataset_iterator`` provides serverless in-process iteration. The
-reference's DDP address-broadcast hack (torch.distributed string tensor) is
-replaced by the ``DATASERVER_ADDR`` env var / explicit address passing —
-jax.distributed handles host coordination.
+``get_dataset_iterator`` provides serverless in-process iteration.
+
+Multi-host: ``init_data_loader_distributed`` is the DDP-parity path
+(reference helpers.py:154-188 — rank0 hosts the DataServer, address broadcast
+via torch.distributed): under an initialized jax.distributed job, rank0 hosts
+the server + workers and broadcasts its tcp address to the other ranks via
+``parallel.distributed.broadcast_bytes``; every rank attaches its own
+DataLoaders pulling its *local* share of the global batch. A preset
+``DATASERVER_ADDR`` env var short-circuits the broadcast (externally hosted
+server).
 """
 
 from __future__ import annotations
 
+import os
 import pickle
 import socket
 import typing as tp
@@ -22,7 +29,9 @@ from speechflow_tpu.server.loader import DataLoader
 from speechflow_tpu.server.server import DataServer
 from speechflow_tpu.server.worker import WorkerPool
 
-__all__ = ["init_data_loader", "init_data_loader_from_configs", "get_dataset_iterator", "LoaderBundle", "find_free_port"]
+__all__ = ["init_data_loader", "init_data_loader_from_configs",
+           "init_data_loader_distributed", "get_dataset_iterator",
+           "LoaderBundle", "find_free_port"]
 
 
 def find_free_port() -> int:
@@ -32,9 +41,9 @@ def find_free_port() -> int:
 
 
 class LoaderBundle:
-    def __init__(self, server: DataServer, pool: WorkerPool,
+    def __init__(self, server: tp.Optional[DataServer], pool: tp.Optional[WorkerPool],
                  loaders: tp.Dict[str, DataLoader]):
-        self.server = server
+        self.server = server  # None on non-root ranks of a distributed job
         self.pool = pool
         self.loaders = loaders
 
@@ -44,8 +53,10 @@ class LoaderBundle:
     def shutdown(self) -> None:
         for ld in self.loaders.values():
             ld.stop()
-        self.pool.stop()
-        self.server.stop()
+        if self.pool is not None:
+            self.pool.stop()
+        if self.server is not None:
+            self.server.stop()
 
     def __enter__(self) -> "LoaderBundle":
         return self
@@ -102,6 +113,101 @@ def init_data_loader(
             ld.stop()
         pool.stop()
         server.stop()
+        raise
+    return LoaderBundle(server, pool, loaders)
+
+
+def init_data_loader_distributed(
+    pipeline: tp.Optional[DataPipeline] = None,
+    config_path: tp.Optional[tp.Union[str, Path]] = None,
+    value_select: tp.Optional[tp.Sequence[str]] = None,
+    subsets: tp.Optional[tp.Sequence[str]] = None,
+    batch_size: int = 8,
+    n_workers: int = 2,
+    prefetch_factor: int = 8,
+    drop_non_full: bool = False,
+    min_batch_size: int = 1,
+    host: tp.Optional[str] = None,
+) -> LoaderBundle:
+    """Multi-host data plane: rank0 hosts, every rank attaches loaders.
+
+    ``batch_size`` is the *per-process* batch size (global batch =
+    batch_size x jax.process_count()); the server's shared sampler hands
+    disjoint sample lists to each rank's loader, the multi-host analogue of
+    DDP's per-rank batch split (reference helpers.py:154-188). Call after
+    ``parallel.distributed.init_distributed``. ``host`` is the interface
+    rank0 binds (default: this host's primary address; loaders on other
+    hosts reach it over TCP).
+    """
+    import jax
+
+    from speechflow_tpu.parallel.distributed import broadcast_bytes
+
+    if jax.process_count() == 1:
+        return init_data_loader(
+            pipeline=pipeline, config_path=config_path, value_select=value_select,
+            subsets=subsets, batch_size=batch_size, n_workers=n_workers,
+            prefetch_factor=prefetch_factor, drop_non_full=drop_non_full,
+            min_batch_size=min_batch_size)
+
+    preset = os.environ.get("DATASERVER_ADDR")
+    server: tp.Optional[DataServer] = None
+    pool: tp.Optional[WorkerPool] = None
+
+    if preset:
+        front = preset if jax.process_index() == 0 else None
+        front = broadcast_bytes(front.encode() if front else None).decode()
+    elif jax.process_index() == 0:
+        if pipeline is None:
+            assert config_path is not None, "rank0 needs a pipeline or config"
+            pipeline = DataPipeline.init_from_config(config_path, value_select=value_select)
+            pipeline.init_components()
+        elif not pipeline._initialized:
+            pipeline.init_components()
+        if host is None:
+            host = os.environ.get("SPEECHFLOW_DATASERVER_HOST")
+        if host is None:
+            try:  # routable address of this host; lo-only sandboxes fall back
+                host = socket.gethostbyname(socket.gethostname())
+            except OSError:
+                host = "127.0.0.1"
+        front = f"tcp://{host}:{find_free_port()}"
+        back = f"tcp://{host}:{find_free_port()}"
+        payload = pickle.dumps({
+            "info": pipeline.get_info(),
+            "datasets": {s: pipeline[s].dataset for s in pipeline.subsets},
+        }, protocol=5)
+        server = DataServer(front, back, payload, n_workers_hint=n_workers)
+        server.start(timeout=300)
+        pool = WorkerPool(back, n_workers)
+        pool.start(timeout=300)
+        front = broadcast_bytes(front.encode()).decode()
+    else:
+        front = broadcast_bytes(None).decode()
+
+    if subsets is None:
+        if pipeline is not None:
+            subsets = list(pipeline.subsets)
+        else:
+            from speechflow_tpu.server.client import DataClient
+
+            with DataClient(front) as client:
+                subsets = list(client.info["subsets"])
+
+    loaders: tp.Dict[str, DataLoader] = {}
+    try:
+        for s in subsets:
+            loaders[s] = DataLoader(
+                front, s, batch_size, prefetch_factor=prefetch_factor,
+                drop_non_full=drop_non_full, min_batch_size=min_batch_size,
+            ).start()
+    except Exception:
+        for ld in loaders.values():
+            ld.stop()
+        if pool is not None:
+            pool.stop()
+        if server is not None:
+            server.stop()
         raise
     return LoaderBundle(server, pool, loaders)
 

@@ -79,6 +79,10 @@ class DataServer(ProcessWorker):
         self.inflight: tp.Dict[str, dict] = {}
         self.known_workers: tp.Set[bytes] = set()
         self.samplers: tp.Dict[tp.Tuple[str, str], tp.Any] = {}
+        self._batches_done = 0
+        import time as _time
+
+        self._last_status_ts = _time.time()  # first report after one interval
 
     def _sampler_for(self, subset: str, loader_uid: str):
         key = (subset, loader_uid if self.synchronize_loaders else "__shared__")
@@ -109,12 +113,7 @@ class DataServer(ProcessWorker):
         import time as _time
 
         now = _time.time()
-        last = getattr(self, "_last_status_ts", None)
-        if last is None:
-            self._last_status_ts = now
-            self._batches_done = getattr(self, "_batches_done", 0)
-            return
-        if now - last < every_s:
+        if now - self._last_status_ts < every_s:
             return
         self._last_status_ts = now
         try:
@@ -123,12 +122,15 @@ class DataServer(ProcessWorker):
             mem = psutil.virtual_memory()
             LOGGER.info(
                 "data server status: workers=%d queued=%d inflight=%d "
-                "cpu=%.0f%% mem_avail=%.0f%%",
+                "batches_done=%d cpu=%.0f%% mem_avail=%.0f%%",
                 len(self.known_workers), len(self.tasks), len(self.inflight),
-                psutil.cpu_percent(), mem.available * 100.0 / mem.total)
+                self._batches_done, psutil.cpu_percent(),
+                mem.available * 100.0 / mem.total)
         except Exception:  # noqa: BLE001 — status is best-effort
-            LOGGER.info("data server status: workers=%d queued=%d inflight=%d",
-                        len(self.known_workers), len(self.tasks), len(self.inflight))
+            LOGGER.info("data server status: workers=%d queued=%d inflight=%d "
+                        "batches_done=%d",
+                        len(self.known_workers), len(self.tasks),
+                        len(self.inflight), self._batches_done)
 
     def _on_frontend(self, ident: bytes, msg: dict) -> None:
         mtype = msg.get("type")
@@ -187,6 +189,7 @@ class DataServer(ProcessWorker):
                 {"type": "info", "blob": self.info_blob})])
         elif mtype == "result":
             meta = self.inflight.pop(msg["task_id"], None)
+            self._batches_done += 1
             if meta is not None:
                 self.frontend.send_multipart([meta["loader"], pickle.dumps({
                     "type": "batch",

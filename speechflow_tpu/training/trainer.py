@@ -221,7 +221,7 @@ class Trainer:
         return get
 
     def _log_tb(self, prefix: str, metrics: tp.Dict[str, float], step: int) -> None:
-        if self._tb is None:
+        if self._tb is None or jax.process_index() != 0:
             return
         for k, v in metrics.items():
             self._tb.add_scalar(f"{prefix}/{k}", v, step)
@@ -229,7 +229,8 @@ class Trainer:
     # -- persistence ----------------------------------------------------------------
 
     def save_checkpoint(self, extra: tp.Optional[dict] = None) -> tp.Optional[Path]:
-        if self.saver is None:
+        # rank0 writes; params/opt state are replicated so no gather is needed
+        if self.saver is None or jax.process_index() != 0:
             return None
         model_state = nnx.to_pure_dict(nnx.state(self.model, nnx.Not(nnx.RngState)))
         opt_state = nnx.to_pure_dict(nnx.state(self.optimizer, nnx.Not(nnx.RngState)))

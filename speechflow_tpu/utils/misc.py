@@ -10,7 +10,35 @@ import pickle
 import typing as tp
 from pathlib import Path
 
-__all__ = ["version_check", "tpu_info", "prune_checkpoint", "find_free_port"]
+__all__ = ["version_check", "tpu_info", "prune_checkpoint", "find_free_port",
+           "enable_compilation_cache"]
+
+
+def enable_compilation_cache(cache_dir: tp.Optional[str] = None) -> str:
+    """Turn on JAX's persistent compilation cache.
+
+    XLA compiles are the dominant cost of the debug-scale train smokes (each
+    CLI run re-traces every jitted step); the on-disk cache makes repeat
+    compiles ~6x faster.  Directory resolution order: explicit arg,
+    ``SPEECHFLOW_JAX_CACHE`` env var, ``~/.cache/speechflow_tpu/jax``.
+    Safe to call multiple times; a no-op if the cache is already configured.
+    """
+    import os
+
+    import jax
+
+    path = (cache_dir or os.environ.get("SPEECHFLOW_JAX_CACHE")
+            or os.path.join(os.path.expanduser("~"), ".cache", "speechflow_tpu", "jax"))
+    if jax.config.jax_compilation_cache_dir == path:
+        return path
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # keep XLA's embedded AOT kernel caches out of the entries: reloading
+    # them in a fresh process spams machine-feature-mismatch warnings on CPU
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    return path
 
 
 def version_check(module, minimum: str, name: tp.Optional[str] = None) -> bool:

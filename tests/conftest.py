@@ -18,6 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the slow tier's cost is dominated by XLA
+# re-compiles of the same debug-shape programs run after run; with the cache
+# warm they load from disk instead (VERDICT r2 next-step #7).
+from speechflow_tpu.utils.misc import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
