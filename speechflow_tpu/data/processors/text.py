@@ -19,7 +19,7 @@ import numpy as np
 from speechflow_tpu.data.core.datasample import TTSDataSample
 from speechflow_tpu.data.processors import handler
 
-__all__ = ["Alphabet", "TTSTextProcessor", "TextParserHook",
+__all__ = ["Alphabet", "TTSTextProcessor", "TextParserHook", "G2PParserHook",
            "ARPABET_TO_IPA", "to_ipa", "phonemes_to_ipa"]
 
 PAD, BOS, EOS, SIL, UNK = "<PAD>", "<BOS>", "<EOS>", "<SIL>", "<UNK>"
@@ -93,6 +93,42 @@ class TextParserHook:
                 out.append(SIL)
             else:
                 out.append(ch)
+        return out
+
+
+class G2PParserHook(TextParserHook):
+    """Raw text -> phonemes through a framework-trained G2P model
+    (models/g2p: corpus-mined lexicon + seq2seq for OOV words).
+
+    This is the default inference path when a ``g2p.pkl`` checkpoint is
+    available — it produces the same phoneme symbol space the model trained
+    on, unlike the char-level fallback.  Capability parity with the external
+    multilingual_text_parser (tts_text_processors.py:57)."""
+
+    _WORD_OR_PAUSE = None  # compiled lazily (re import cost)
+
+    def __init__(self, g2p: tp.Union[str, "tp.Any"]):
+        from speechflow_tpu.models.g2p import G2P
+
+        self.g2p = G2P.load(g2p) if isinstance(g2p, (str, bytes)) or hasattr(
+            g2p, "__fspath__") else g2p
+
+    def __call__(self, text: str, lang: str = "EN") -> tp.List[str]:
+        import re
+
+        if G2PParserHook._WORD_OR_PAUSE is None:
+            G2PParserHook._WORD_OR_PAUSE = re.compile(
+                r"[\w']+|[" + re.escape(self.PAUSE_CHARS) + r"]+")
+        pieces = G2PParserHook._WORD_OR_PAUSE.findall(text.strip().lower())
+        words = [p for p in pieces if p[0] not in self.PAUSE_CHARS]
+        prons = dict(zip(words, self.g2p.predict(words, lang)))
+        out: tp.List[str] = []
+        for p in pieces:
+            if p[0] in self.PAUSE_CHARS:
+                if not out or out[-1] != SIL:
+                    out.append(SIL)
+            else:
+                out.extend(prons.get(p, ()))
         return out
 
 

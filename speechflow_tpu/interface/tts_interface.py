@@ -17,6 +17,7 @@ interface/prosody_reference.py); ``TTSOptions`` the sampling knobs —
 from __future__ import annotations
 
 import dataclasses
+import logging
 import re
 import typing as tp
 from pathlib import Path
@@ -108,7 +109,8 @@ class TTSOptions:
 class TTSEvaluationInterface:
     def __init__(self, ckpt_path: tp.Union[str, Path],
                  text_parser: tp.Optional[TextParserHook] = None,
-                 prosody_ckpt: tp.Optional[tp.Union[str, Path]] = None):
+                 prosody_ckpt: tp.Optional[tp.Union[str, Path]] = None,
+                 g2p_ckpt: tp.Optional[tp.Union[str, Path]] = None):
         tree, payload = ExperimentSaver.load_checkpoint(ckpt_path)
         self.payload = payload
         info = payload["pipeline_info"]
@@ -117,6 +119,8 @@ class TTSEvaluationInterface:
         self._audio_pipeline: tp.Optional[DataPipeline] = None
         self._info = info
         self.alphabet = self.pipeline.alphabet
+        if text_parser is None:
+            text_parser = self._discover_g2p(Path(ckpt_path), g2p_ckpt)
         self.text_processor = TTSTextProcessor(self.alphabet, parser=text_parser)
 
         params = ParallelTTSParams.create(payload["model_params"])
@@ -143,6 +147,31 @@ class TTSEvaluationInterface:
             from speechflow_tpu.models.prosody.interface import ProsodyPredictionInterface
 
             self.prosody_interface = ProsodyPredictionInterface(prosody_ckpt)
+
+    @staticmethod
+    def _discover_g2p(ckpt_path: Path,
+                      g2p_ckpt: tp.Optional[tp.Union[str, Path]]
+                      ) -> tp.Optional[TextParserHook]:
+        """Trained-G2P raw-text frontend: explicit path wins, else look for
+        ``g2p.pkl`` beside the checkpoint / in the experiment dir (the
+        train CLIs save it there).  Falls back to the char-level tokenizer
+        with a LOUD warning — char tokens are out-of-distribution for a
+        phoneme-trained model, so synthesis quality degrades silently
+        otherwise."""
+        from speechflow_tpu.data.processors.text import G2PParserHook
+
+        candidates = [Path(g2p_ckpt)] if g2p_ckpt else [
+            ckpt_path / "g2p.pkl", ckpt_path.parent / "g2p.pkl",
+            ckpt_path.parent.parent / "g2p.pkl",
+        ]
+        for c in candidates:
+            if c.is_file():
+                return G2PParserHook(c)
+        logging.getLogger("speechflow_tpu").warning(
+            "no trained G2P found near %s — raw-text synthesis will use the "
+            "char-level fallback (train one with scripts/train_g2p.py)",
+            ckpt_path)
+        return None
 
     # -- catalog --------------------------------------------------------------
 

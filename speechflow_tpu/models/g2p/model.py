@@ -1,0 +1,390 @@
+"""Trainable grapheme-to-phoneme model (corpus-mined, alignment + windowed MLP).
+
+The reference phonemizes raw text through the external multilingual_text_parser
+(.NET/eSpeak, tts_text_processors.py:57).  That binary is unavailable offline,
+so the framework trains its own G2P on the very corpus it trains TTS on: every
+`.TextGridStage3` file carries aligned ``words`` and ``phonemes`` tiers, so the
+(grapheme-sequence -> phoneme-sequence) lexicon falls out of the training data
+for free — the same zero-egress pattern as the CPC features and the skip-gram
+WordLM.
+
+Model choice: at corpus-lexicon scale (hundreds to a few thousand word types) a
+seq2seq transducer badly underfits — measured on the mini corpus it reached
+PER 0.86 held-out after 100 s of training, while the classic Sequitur-family
+recipe below reaches PER ~0.27 in a third of the time.  The recipe:
+
+1. **Grapheme↔phoneme alignment** (EM): each grapheme emits 0..2 phonemes; a
+   DP per word maximises co-occurrence log-scores, re-estimated over a few
+   iterations.  This converts every word into per-grapheme phoneme *chunks*.
+2. **Context-window classifier**: a small MLP maps (7-char window, lang) ->
+   chunk class.  Training is one jitted full-batch step in a host loop —
+   dropout + label smoothing carry generalisation at tiny data scale.
+3. **Decode** is a single batched forward over all positions of all query
+   words (no autoregression, no scan) followed by chunk concatenation —
+   trivially jit/TPU friendly and O(1) latency in word length.
+
+At inference the mined lexicon is consulted first (the reference parser is
+likewise lexicon-first); the classifier only handles OOV words.
+"""
+
+from __future__ import annotations
+
+import pickle
+import re
+import typing as tp
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["G2P", "train_g2p", "mine_g2p_lexicon", "align_lexicon",
+           "normalize_word", "phoneme_error_rate"]
+
+_WORD_CLEAN_RE = re.compile(r"[^\w']+", re.UNICODE)
+
+MAX_WORD = 24     # longest word the miner accepts
+MAX_PHON = 28     # longest pronunciation the miner accepts
+BOW, EOW, UNK_CHAR = "<", ">", "\0"   # window boundary / unknown-char markers
+
+Lexicon = tp.List[tp.Tuple[str, str, tp.Tuple[str, ...]]]
+
+
+def normalize_word(word: str) -> str:
+    return _WORD_CLEAN_RE.sub("", word.lower())
+
+
+def phoneme_error_rate(pred: tp.Sequence[str], ref: tp.Sequence[str]) -> float:
+    """Levenshtein distance / reference length — the standard G2P metric."""
+    m, n = len(pred), len(ref)
+    D = np.zeros((m + 1, n + 1), np.int32)
+    D[:, 0] = np.arange(m + 1)
+    D[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            D[i, j] = min(D[i - 1, j] + 1, D[i, j - 1] + 1,
+                          D[i - 1, j - 1] + (pred[i - 1] != ref[j - 1]))
+    return float(D[m, n]) / max(n, 1)
+
+
+def mine_g2p_lexicon(
+    seg_paths: tp.Iterable[tp.Union[str, Path]],
+) -> Lexicon:
+    """Extract a (lang, word, phoneme-seq) lexicon from TextGrid segs.
+
+    Phoneme intervals are matched to the word interval containing them
+    (reference stores the parser's per-word phonemization in exactly these
+    tiers, seg_io.py:62)."""
+    from speechflow_tpu.io.seg import AudioSeg
+
+    lex: tp.Set[tp.Tuple[str, str, tp.Tuple[str, ...]]] = set()
+    for p in seg_paths:
+        p = Path(p)
+        try:
+            seg = AudioSeg.load(p)
+        except Exception:
+            continue
+        lang = seg.lang or ("RU" if "RU" in str(p) else "EN")
+        phones = list(seg.phonemes())
+        for ws, we, wtext in seg.words():
+            w = normalize_word(wtext)
+            if not w or len(w) > MAX_WORD:
+                continue
+            pron = tuple(lbl for (s, e, lbl) in phones
+                         if s >= ws - 1e-6 and e <= we + 1e-6 and lbl)
+            if pron and len(pron) <= MAX_PHON:
+                lex.add((lang, w, pron))
+    return sorted(lex)
+
+
+# --------------------------------------------------------------------------- #
+#  alignment (EM over emission co-occurrence scores)                          #
+# --------------------------------------------------------------------------- #
+
+
+def align_lexicon(
+    lexicon: Lexicon,
+    iters: int = 3,
+    max_emit: int = 2,
+    eps_penalty: float = 2.0,
+    multi_penalty: float = 1.0,
+) -> tp.List[tp.Optional[tp.List[tp.Tuple[str, ...]]]]:
+    """1-to-(0..max_emit) grapheme->phoneme alignment.
+
+    Returns, for each lexicon entry, a list of phoneme chunks — one per
+    grapheme (``None`` if the entry cannot be aligned within the emission
+    budget, e.g. pronunciations more than ``max_emit``× longer than the word).
+    Co-occurrence scores start IBM-model-1 style (uniform within word) and are
+    re-estimated from the Viterbi alignments for ``iters`` rounds."""
+    NEG = -1e9
+    score: tp.Dict[str, tp.Dict[str, float]] = defaultdict(lambda: defaultdict(float))
+    for _, w, pron in lexicon:
+        for g in w:
+            for p in pron:
+                score[g][p] += 1.0 / (len(w) * len(pron))
+
+    aligns: tp.List[tp.Optional[tp.List[tp.Tuple[str, ...]]]] = []
+    for _ in range(iters):
+        counts: tp.Dict[str, tp.Dict[str, float]] = defaultdict(lambda: defaultdict(float))
+        aligns = []
+        for _, w, pron in lexicon:
+            G, P = len(w), len(pron)
+            D = np.full((G + 1, P + 1), NEG)
+            D[0, 0] = 0.0
+            bk: tp.Dict[tp.Tuple[int, int], int] = {}
+
+            def s(g: str, p: str) -> float:
+                return float(np.log(score[g][p] + 1e-4))
+
+            for i in range(1, G + 1):
+                g = w[i - 1]
+                for j in range(P + 1):
+                    best, arg = NEG, 0
+                    if D[i - 1, j] > NEG / 2:                      # emit nothing
+                        v = D[i - 1, j] - eps_penalty
+                        if v > best:
+                            best, arg = v, 0
+                    for k in range(1, min(max_emit, j) + 1):       # emit k phonemes
+                        if D[i - 1, j - k] > NEG / 2:
+                            v = (D[i - 1, j - k] - multi_penalty * (k - 1)
+                                 + sum(s(g, pron[j - m - 1]) for m in range(k)))
+                            if v > best:
+                                best, arg = v, k
+                    D[i, j], bk[(i, j)] = best, arg
+            if D[G, P] <= NEG / 2:
+                aligns.append(None)
+                continue
+            i, j, chunks = G, P, []
+            while i > 0:
+                k = bk[(i, j)]
+                chunks.append(tuple(pron[j - k: j]))
+                i, j = i - 1, j - k
+            chunks.reverse()
+            aligns.append(chunks)
+            for g, ch in zip(w, chunks):
+                for p in ch:
+                    counts[g][p] += 1.0
+        score = counts
+    return aligns
+
+
+# --------------------------------------------------------------------------- #
+#  model                                                                      #
+# --------------------------------------------------------------------------- #
+
+
+def _mlp_forward(params: dict, x, win: int, dropout: float = 0.0, key=None):
+    """x: (N, win+1) int32 — win char ids + a lang id.  Returns (N, n_chunks)."""
+    import jax
+    import jax.numpy as jnp
+
+    ce = params["ce"][x[:, :win]].reshape(x.shape[0], -1)
+    le = params["le"][x[:, win]]
+    h = jnp.concatenate([ce, le], -1)
+    if key is not None and dropout > 0:
+        h = h * jax.random.bernoulli(key, 1 - dropout, h.shape) / (1 - dropout)
+    h = jax.nn.gelu(h @ params["w1"] + params["b1"])
+    if key is not None and dropout > 0:
+        h = (h * jax.random.bernoulli(jax.random.fold_in(key, 1),
+                                      1 - dropout, h.shape) / (1 - dropout))
+    h = jax.nn.gelu(h @ params["w2"] + params["b2"])
+    return h @ params["wo"] + params["bo"]
+
+
+class G2P:
+    """Trained G2P: char/lang vocabularies, chunk inventory, MLP params."""
+
+    def __init__(self, cvocab: tp.Dict[str, int], lvocab: tp.Dict[str, int],
+                 chunk_symbols: tp.Sequence[tp.Tuple[str, ...]],
+                 params: dict, win: int = 7,
+                 lexicon: tp.Optional[tp.Dict[tp.Tuple[str, str],
+                                              tp.Tuple[str, ...]]] = None):
+        self.cvocab = dict(cvocab)
+        self.lvocab = dict(lvocab)
+        self.chunk_symbols = [tuple(c) for c in chunk_symbols]
+        self.params = params
+        self.win = win
+        #: exact pronunciations mined at train time; consulted before the
+        #: neural decode (the reference parser is likewise lexicon-first)
+        self.lexicon = dict(lexicon or {})
+        self._cache: tp.Dict[tp.Tuple[str, str], tp.Tuple[str, ...]] = {}
+        self._fwd_jit = None
+
+    @property
+    def phoneme_inventory(self) -> tp.List[str]:
+        return sorted({p for ch in self.chunk_symbols for p in ch})
+
+    # -- encoding ------------------------------------------------------------
+
+    def _features(self, word: str, lang: str) -> np.ndarray:
+        """(len(word), win+1) int32 rows of window char ids + lang id."""
+        half = self.win // 2
+        unk = self.cvocab[UNK_CHAR]
+        padded = BOW * half + word + EOW * half
+        lid = self.lvocab.get(lang.upper(), 0)
+        rows = [[self.cvocab.get(padded[i + k], unk) for k in range(self.win)]
+                + [lid] for i in range(len(word))]
+        return np.asarray(rows, np.int32)
+
+    # -- decode --------------------------------------------------------------
+
+    def _build_fwd(self):
+        import jax
+        import jax.numpy as jnp
+
+        params = jax.tree.map(jnp.asarray, self.params)
+        win = self.win
+
+        @jax.jit
+        def fwd(x):
+            return jnp.argmax(_mlp_forward(params, x, win), -1)
+
+        return fwd
+
+    def predict(self, words: tp.Sequence[str], lang: str = "EN",
+                use_lexicon: bool = True) -> tp.List[tp.Tuple[str, ...]]:
+        """Lexicon lookup for known words, one batched forward over every
+        character position of the OOV words; per-(word,lang) memoized."""
+        lang = lang.upper()
+        lex = self.lexicon if use_lexicon else {}
+
+        def known(w: str) -> bool:
+            key = (lang, normalize_word(w))
+            return key in lex or key in self._cache
+
+        todo = sorted({normalize_word(w) for w in words
+                       if normalize_word(w) and not known(w)})
+        if todo:
+            import jax.numpy as jnp
+
+            if self._fwd_jit is None:
+                self._fwd_jit = self._build_fwd()
+            feats = [self._features(w, lang) for w in todo]
+            flat = np.concatenate(feats)
+            # pad to a power-of-two bucket so the jit compiles once per bucket
+            bucket = 1 << max(4, int(len(flat) - 1).bit_length())
+            pad = np.zeros((bucket - len(flat), self.win + 1), np.int32)
+            cls = np.asarray(self._fwd_jit(jnp.asarray(
+                np.concatenate([flat, pad]))))[: len(flat)]
+            ofs = 0
+            for w, f in zip(todo, feats):
+                pron: tp.List[str] = []
+                for c in cls[ofs: ofs + len(f)]:
+                    pron.extend(self.chunk_symbols[int(c)])
+                self._cache[(lang, w)] = tuple(pron)
+                ofs += len(f)
+        out = []
+        for w in words:
+            key = (lang, normalize_word(w))
+            out.append(lex.get(key) or self._cache.get(key, ()))
+        return out
+
+    # -- persistence ---------------------------------------------------------
+
+    def save(self, path: tp.Union[str, Path]) -> Path:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump({"cvocab": self.cvocab, "lvocab": self.lvocab,
+                         "chunk_symbols": self.chunk_symbols,
+                         "params": self.params, "win": self.win,
+                         "lexicon": self.lexicon}, f)
+        return path
+
+    @classmethod
+    def load(cls, path: tp.Union[str, Path]) -> "G2P":
+        with open(path, "rb") as f:
+            tree = pickle.load(f)
+        return cls(tree["cvocab"], tree["lvocab"], tree["chunk_symbols"],
+                   tree["params"], tree.get("win", 7), tree.get("lexicon"))
+
+
+def train_g2p(
+    lexicon: Lexicon,
+    win: int = 7,
+    char_dim: int = 24,
+    hidden: int = 384,
+    dropout: float = 0.3,
+    label_smooth: float = 0.1,
+    steps: int = 600,
+    lr: float = 3e-3,
+    weight_decay: float = 1e-3,
+    align_iters: int = 3,
+    seed: int = 0,
+) -> G2P:
+    """Align the lexicon, then train the window classifier.
+
+    Training is full-batch (a corpus lexicon is a few thousand positions) —
+    one jitted AdamW step in a host loop; the mini-corpus lexicon trains in
+    ~30 s even on a single CPU core and reaches held-out PER ~0.27 vs the
+    seq2seq's 0.86 (measured, docs/history.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    aligns = align_lexicon(lexicon, iters=align_iters)
+
+    half = win // 2
+    chars = sorted({c for _, w, _ in lexicon for c in w})
+    cvocab = {c: i for i, c in enumerate(chars + [BOW, EOW, UNK_CHAR])}
+    langs = sorted({l.upper() for l, _, _ in lexicon})
+    lvocab = {l: i for i, l in enumerate(langs)}
+
+    chunk_ids: tp.Dict[tp.Tuple[str, ...], int] = {}
+    X, Y = [], []
+    for (l, w, _), chunks in zip(lexicon, aligns):
+        if chunks is None:
+            continue
+        padded = BOW * half + w + EOW * half
+        for i, ch in enumerate(chunks):
+            X.append([cvocab[padded[i + k]] for k in range(win)]
+                     + [lvocab[l.upper()]])
+            Y.append(chunk_ids.setdefault(ch, len(chunk_ids)))
+    if not X:
+        raise ValueError("no alignable entries in the lexicon")
+    X = np.asarray(X, np.int32)
+    Y = np.asarray(Y, np.int32)
+
+    NC, NL, NCH = len(cvocab), len(lvocab), len(chunk_ids)
+    r = np.random.default_rng(seed)
+
+    def mat(fan_in, *shape):
+        return jnp.asarray(r.standard_normal(shape) / np.sqrt(fan_in), jnp.float32)
+
+    params = {
+        "ce": 0.1 * mat(1, NC, char_dim),
+        "le": 0.1 * mat(1, NL, char_dim),
+        "w1": mat(win * char_dim, win * char_dim + char_dim, hidden),
+        "b1": jnp.zeros(hidden),
+        "w2": mat(hidden, hidden, hidden),
+        "b2": jnp.zeros(hidden),
+        "wo": mat(hidden, hidden, NCH),
+        "bo": jnp.zeros(NCH),
+    }
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, o, x, y, k):
+        def loss_fn(p):
+            logits = _mlp_forward(p, x, win, dropout, k)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, y[:, None], -1).mean()
+            return (1 - label_smooth) * nll - label_smooth * logp.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    jx, jy = jnp.asarray(X), jnp.asarray(Y)
+    key = jax.random.PRNGKey(seed)
+    for e in range(steps):
+        params, opt_state, _ = step(params, opt_state, jx, jy,
+                                    jax.random.fold_in(key, e))
+
+    chunk_symbols = [()] * NCH
+    for ch, i in chunk_ids.items():
+        chunk_symbols[i] = ch
+    g2p = G2P(cvocab, lvocab, chunk_symbols,
+              jax.tree.map(np.asarray, params), win=win)
+    g2p.lexicon = {(l.upper(), w): pron for l, w, pron in lexicon}
+    return g2p

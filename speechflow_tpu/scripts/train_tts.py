@@ -70,6 +70,20 @@ def train(model_cfg, data_cfg, saver) -> str:
         saver.to_save["pipeline_info"] = info
         saver.to_save["model_params"] = params.to_dict()
 
+        if model_cfg.get_path("experiment.train_g2p", True):
+            # every experiment ships a raw-text frontend: mine the corpus
+            # word/phoneme tiers and train the G2P into the experiment dir,
+            # where TTSEvaluationInterface auto-discovers it
+            try:
+                from speechflow_tpu.scripts.train_g2p import train_g2p_artifact
+
+                train_g2p_artifact(
+                    data_cfg.get_path("dirs.data_root"),
+                    saver.expr_path / "g2p.pkl",
+                    steps=int(model_cfg.get_path("experiment.g2p_steps", 600)))
+            except Exception as e:  # G2P failure must never kill training
+                LOGGER.warning("G2P training skipped: %s", e)
+
         trainer = Trainer(
             model, criterion, batch_processor,
             optimizer_config(model_cfg), trainer_config(model_cfg),
