@@ -19,6 +19,7 @@ from speechflow_tpu.data.core.datasample import (
     AudioDataSample,
     DataSample,
     ImageDataSample,
+    SpectrogramDataSample,
     TTSDataSample,
 )
 from speechflow_tpu.data.core.parser import BaseDSParser, Metadata
@@ -134,7 +135,10 @@ class AudioDSParser(BaseDSParser):
     def to_datasample(self, md: Metadata) -> AudioDataSample:
         p = Path(md["path"])
         speaker = self.speaker_from_path(p)
-        return AudioDataSample(
+        # SpectrogramDataSample (an AudioDataSample with spectral fields all
+        # None) so audio pipelines can use spectral handlers — e.g. the NSF
+        # vocoder recipes compute frame-level pitch on raw-audio corpora
+        return SpectrogramDataSample(
             file_path=str(p),
             label=speaker,
             speaker_name=speaker,

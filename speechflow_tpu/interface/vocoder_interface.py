@@ -40,7 +40,8 @@ class VocoderEvaluationInterface:
     def sample_rate(self) -> int:
         return self.params.sample_rate
 
-    def synthesize(self, mel_or_output, speaker_emb: tp.Optional[np.ndarray] = None) -> AudioChunk:
+    def synthesize(self, mel_or_output, speaker_emb: tp.Optional[np.ndarray] = None,
+                   f0: tp.Optional[np.ndarray] = None) -> AudioChunk:
         mel = getattr(mel_or_output, "after_postnet_spectrogram", mel_or_output)
         if mel is None:
             mel = mel_or_output
@@ -48,13 +49,35 @@ class VocoderEvaluationInterface:
         if mel.ndim == 2:
             mel = mel[None]
         cond = None if speaker_emb is None else jnp.asarray(speaker_emb)
-        wav = np.asarray(self.model.from_features(mel, cond))
+        kwargs = {}
+        if self.model.nsf_head:
+            if f0 is None:
+                # TTS output in hand: expand its token-level pitch prediction
+                # through the length-regulator attention (StyleTTS2 wiring)
+                vp = getattr(mel_or_output, "variance_predictions", None) or {}
+                attn = getattr(mel_or_output, "attention", None)
+                if vp.get("aggregate_pitch") is not None and attn is not None:
+                    f0 = jnp.einsum("btn,bn->bt", jnp.asarray(attn),
+                                    jnp.asarray(vp["aggregate_pitch"]))
+            if f0 is not None and jnp.asarray(f0).ndim == 1:
+                f0 = jnp.asarray(f0)[None]
+            kwargs = {"f0": None if f0 is None else jnp.asarray(f0),
+                      "style": cond}
+        wav = np.asarray(self.model.from_features(mel, cond, **kwargs))
         wav = wav.reshape(-1) if wav.shape[0] == 1 else wav
         return AudioChunk(data=np.clip(wav, -1.0, 1.0), sr=self.sample_rate)
 
     def resynthesize(self, audio: AudioChunk) -> AudioChunk:
-        wav = jnp.asarray(audio.load(sr=self.sample_rate).waveform)[None]
-        out = self.model({"waveform": wav})
+        wav_np = audio.load(sr=self.sample_rate).waveform
+        wav = jnp.asarray(wav_np)[None]
+        inputs = {"waveform": wav}
+        if self.model.nsf_head:  # host-side F0 for the sine source
+            from speechflow_tpu.data.processors import np_dsp
+
+            f0 = np_dsp.yin_f0_np(wav_np, self.sample_rate,
+                                  self.params.hop_length, 2048, 80.0, 880.0, 0.2)
+            inputs["pitch"] = jnp.asarray(f0)[None]
+        out = self.model(inputs)
         if isinstance(out, tuple):  # codec/tts extractors return (wav, losses)
             out = out[0]
         out = np.asarray(out)[0]

@@ -28,6 +28,8 @@ class VocoderBatchProcessor:
         inputs: tp.Dict[str, np.ndarray] = {"waveform": wav}
         if self.use_mel and get("mel") is not None:
             inputs["mel"] = get("mel")
+        if get("pitch") is not None:  # frame-level F0 for NSF heads
+            inputs["pitch"] = get("pitch")
         if get("speaker_emb") is not None:
             inputs["speaker_emb"] = get("speaker_emb")
         targets = {"waveform": wav}

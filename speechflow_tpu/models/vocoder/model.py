@@ -3,8 +3,13 @@
 Capability parity with the reference Vocos assembly
 (tts/vocoders/vocos/pretrained.py:47, lightning_engine.py:246-260 forward):
 the three stages are selected by params (extractor: mel|audio, backbone:
-vocos|dummy, head: istft|snake_upsample|imdct_symexp|imdct_cos) and the whole
-generator is one jit program including on-device mel extraction.
+vocos|dummy, head: istft|snake_upsample|imdct_symexp|imdct_cos|nsf_hifigan|
+nsf_istft) and the whole generator is one jit program including on-device mel
+extraction.  The NSF heads (reference StyleTTS2 path,
+tts/vocoders/vocos/modules/heads/nsf_hifigan.py:37) additionally consume a
+frame-level F0 — from the batch's ``pitch`` field (copy synthesis) or the
+acoustic model's pitch prediction (E2E ``tts`` extractor) — plus an optional
+style embedding for AdaIN conditioning.
 """
 
 from __future__ import annotations
@@ -43,7 +48,8 @@ class VocosParams(BaseModelParams):
     codec_params: dict = {}                # for "codec": CodecParams fields
     codec_freeze: bool = False             # freeze the codec front-end
     backbone: str = "vocos"                # vocos | dummy
-    head: str = "istft"                    # istft | snake_upsample | imdct_symexp | imdct_cos
+    head: str = "istft"                    # istft | snake_upsample | imdct_symexp
+    #                                      # | imdct_cos | nsf_hifigan | nsf_istft
 
     dim: int = 512
     n_layers: int = 8
@@ -52,6 +58,8 @@ class VocosParams(BaseModelParams):
     upsample_rates: tp.Tuple[int, ...] = (8, 8, 2, 2)
     upsample_channels: int = 256
     mdct_frame_len: int = 512
+    style_dim: int = 128                   # NSF AdaIN style-embedding dim
+    n_harmonics: int = 8                   # NSF sine-source harmonics
 
 
 class Vocos(nnx.Module):
@@ -90,6 +98,7 @@ class Vocos(nnx.Module):
             raise ValueError(p.backbone)
 
         bdim = self.backbone.dim
+        self.nsf_head = p.head.startswith("nsf")
         if p.head == "istft":
             self.head = ISTFTHead(bdim, p.n_fft, p.hop_length, rngs=rngs)
         elif p.head == "snake_upsample":
@@ -99,17 +108,55 @@ class Vocos(nnx.Module):
             self.head = IMDCTSymExpHead(bdim, p.mdct_frame_len, rngs=rngs)
         elif p.head == "imdct_cos":
             self.head = IMDCTCosHead(bdim, p.mdct_frame_len, rngs=rngs)
+        elif p.head == "nsf_hifigan":
+            from speechflow_tpu.models.vocoder.nsf import NSFHiFiGANHead
+
+            self.head = NSFHiFiGANHead(
+                bdim, p.upsample_rates, channels=p.upsample_channels,
+                style_dim=p.style_dim, sample_rate=p.sample_rate,
+                n_harmonics=p.n_harmonics, rngs=rngs)
+        elif p.head == "nsf_istft":
+            from speechflow_tpu.models.vocoder.nsf import NSFiSTFTHead
+
+            self.head = NSFiSTFTHead(
+                bdim, p.n_fft, p.hop_length, style_dim=p.style_dim,
+                sample_rate=p.sample_rate, n_harmonics=p.n_harmonics, rngs=rngs)
         else:
             raise ValueError(p.head)
 
+    def _resolve_f0_style(self, inputs, aux, t_frames: int):
+        """Frame-level F0 (batch pitch field, else the acoustic model's
+        prediction) padded/trimmed to the feature frame count, plus the AdaIN
+        style embedding (style_emb, else speaker_emb)."""
+        f0 = style = None
+        if isinstance(inputs, dict):
+            f0 = inputs.get("pitch")
+            style = inputs.get("style_emb", inputs.get("speaker_emb"))
+        if f0 is None:
+            f0 = aux.get("pitch")
+        if f0 is None:
+            raise ValueError(
+                f"head {self.params.head!r} needs a frame-level F0: provide a "
+                "'pitch' batch field (pitch handler in the data pipe) or use "
+                "the 'tts' feature extractor whose pitch prediction is wired "
+                "through automatically")
+        if f0.shape[1] < t_frames:
+            f0 = jnp.pad(f0, ((0, 0), (0, t_frames - f0.shape[1])))
+        return f0[:, :t_frames], style
+
     def __call__(self, inputs: tp.Mapping[str, jnp.ndarray]):
         feats = self.feature_extractor(inputs)
-        ft_losses = None
-        if isinstance(feats, tuple):  # TTSFeatures returns (mel, ft_losses)
-            feats, ft_losses = feats
+        ft_losses, aux = None, {}
+        if isinstance(feats, tuple):  # TTSFeatures: (mel, ft_losses[, aux])
+            feats, ft_losses, *rest = feats
+            aux = rest[0] if rest else {}
         cond = inputs.get("speaker_emb") if isinstance(inputs, dict) else None
         h = self.backbone(feats, cond)
-        wav = self.head(h)
+        if self.nsf_head:
+            f0, style = self._resolve_f0_style(inputs, aux, feats.shape[1])
+            wav = self.head(h, f0, style)
+        else:
+            wav = self.head(h)
         # uniform contract: T feature frames -> exactly (T-1)*hop samples
         wav = wav[..., : (feats.shape[1] - 1) * self.params.hop_length]
         return wav if ft_losses is None else (wav, ft_losses)
@@ -118,13 +165,24 @@ class Vocos(nnx.Module):
         return self.feature_extractor(inputs)
 
     def from_features(self, feats: jnp.ndarray,
-                      cond: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                      cond: tp.Optional[jnp.ndarray] = None,
+                      f0: tp.Optional[jnp.ndarray] = None,
+                      style: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """Bypass the feature extractor: (B, T, feat_dim) -> waveform.
 
         The TTS->vocoder handoff path (SURVEY §A.4): the acoustic model's mel
         goes straight to backbone + head. Caller must match the training-time
-        feature convention (log-mel scale/normalization).
+        feature convention (log-mel scale/normalization).  NSF heads take the
+        acoustic model's frame-level F0 prediction via ``f0`` (zeros = fully
+        unvoiced source if the caller has none) and AdaIN style via ``style``.
         """
         h = self.backbone(feats, cond)
-        wav = self.head(h)
+        if self.nsf_head:
+            if f0 is None:
+                f0 = jnp.zeros(feats.shape[:2], feats.dtype)
+            f0, style = self._resolve_f0_style({"pitch": f0, "style_emb": style},
+                                               {}, feats.shape[1])
+            wav = self.head(h, f0, style)
+        else:
+            wav = self.head(h)
         return wav[..., : (feats.shape[1] - 1) * self.params.hop_length]

@@ -31,11 +31,15 @@ class TTSFeatures(nnx.Module):
         self.criterion = TTSCriterion()
         self.dim = tts_params.n_mels
 
-    def __call__(self, inputs) -> tp.Tuple[jnp.ndarray, tp.Dict[str, jnp.ndarray]]:
+    def __call__(self, inputs) -> tp.Tuple[jnp.ndarray, tp.Dict[str, jnp.ndarray],
+                                           tp.Dict[str, jnp.ndarray]]:
         """inputs: {'tts_inputs': TTSForwardInput, ...} or a TTSForwardInput;
-        returns (mel_features, ft_losses). Training mode is decided statically
-        by whether teacher mel targets are present (a bool in the traced input
-        dict would leak as a tracer)."""
+        returns (mel_features, ft_losses, aux). Training mode is decided
+        statically by whether teacher mel targets are present (a bool in the
+        traced input dict would leak as a tracer).  ``aux`` carries the
+        frame-level pitch (token-level variance prediction expanded through
+        the length-regulator attention) for NSF heads — the reference
+        StyleTTS2 wiring's F0 feed (nsf_hifigan.py:37)."""
         tts_in = inputs["tts_inputs"] if isinstance(inputs, dict) else inputs
         training = tts_in.mel is not None
         out = self.tts(tts_in, training=training)
@@ -51,7 +55,11 @@ class TTSFeatures(nnx.Module):
             )
             ft = self.criterion(out, targets, jnp.asarray(0))
             ft_losses = {f"ft_{k}": v for k, v in ft.items()}
-        return out.after_postnet_spectrogram, ft_losses
+        aux = {}
+        tok_pitch = (out.variance_predictions or {}).get("aggregate_pitch")
+        if tok_pitch is not None and out.attention is not None:
+            aux["pitch"] = jnp.einsum("btn,bn->bt", out.attention, tok_pitch)
+        return out.after_postnet_spectrogram, ft_losses, aux
 
 
 class E2EBatchProcessor:

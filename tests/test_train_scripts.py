@@ -220,7 +220,8 @@ RECIPES = [
     ("xtts_model.yml", "tts_data_24khz.yml", "tts"),          # GPT over codec tokens
     ("vocoder_bigvgan.yml", "vocoder_data_24khz.yml", "voc"),  # mel_bigvgan
     ("vocoder_mel_dac.yml", "vocoder_data_24khz.yml", "voc"),  # mel_dac (RVQ latents)
-    ("vocoder_styletts2_e2e.yml", "tts_data_24khz.yml", "voc"),  # styletts2 E2E GAN-TTS
+    ("vocoder_nsf.yml", "vocoder_nsf_data_24khz.yml", "voc"),  # NSF-HiFiGAN copy-synthesis
+    ("vocoder_styletts2_e2e.yml", "tts_data_24khz.yml", "voc"),  # styletts2 E2E (NSF head)
     ("vocoder_styletts2_e2e_ft.yml", "tts_data_24khz.yml", "voc"),  # ft variant
 ]
 

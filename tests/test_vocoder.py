@@ -49,6 +49,31 @@ def test_vocos_heads_shapes(rng, head, exact):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("head", ["nsf_hifigan", "nsf_istft"])
+def test_vocos_nsf_heads_through_model(rng, head):
+    """NSF heads reached through the Vocos registry (not just in isolation):
+    batch pitch drives the sine source, speaker_emb the AdaIN style."""
+    p = VocosParams(head=head, dim=64, n_layers=2, n_mels=40,
+                    upsample_rates=(8, 8, 2, 2), upsample_channels=32,
+                    style_dim=16, n_harmonics=4)
+    model = Vocos(p, rngs=nnx.Rngs(0))
+    wav = jnp.asarray(_wav_batch(rng))
+    n_frames = T_WAV // 256 + 1
+    f0 = jnp.asarray(rng.uniform(80, 300, (2, n_frames)).astype(np.float32))
+    style = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+    out = model({"waveform": wav, "pitch": f0, "speaker_emb": style})
+    assert out.ndim == 2 and out.shape[0] == 2
+    assert abs(out.shape[1] - T_WAV) <= 256
+    assert np.isfinite(np.asarray(out)).all()
+    # without pitch the head must refuse loudly, not silently degrade
+    with pytest.raises(ValueError, match="frame-level F0"):
+        model({"waveform": wav})
+    # inference handoff path: from_features with explicit f0/style
+    feats = model.features({"waveform": wav})
+    wav2 = model.from_features(feats, f0=f0[:, : feats.shape[1]], style=style)
+    assert np.isfinite(np.asarray(wav2)).all()
+
+
 def test_discriminator_outputs(rng):
     disc = VocoderDiscriminator(periods=(2, 3), resolutions=((512, 128),),
                                 channels=8, rngs=nnx.Rngs(1))
