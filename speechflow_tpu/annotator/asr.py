@@ -73,6 +73,30 @@ class WhisperASR(ASRBase):
         return {"text": out["text"].strip(), "timestamps": stamps}
 
 
+def convert_media_to_opus(
+    data_root: tp.Union[str, Path],
+    ext: str = ".wav",
+    sr: tp.Optional[int] = None,
+    overwrite: bool = False,
+) -> tp.List[Path]:
+    """Re-encode every ``ext`` file under ``data_root`` as Ogg/Opus beside the
+    original — the annotator's media->opus conversion convenience (reference:
+    annotator/audio_transcription.py media conversion via pydub/ffmpeg).
+    Returns the written paths."""
+    from speechflow_tpu.io import AudioChunk, construct_file_list
+
+    out = []
+    for f in construct_file_list(data_root, ext=ext):
+        dst = Path(f).with_suffix(".opus")
+        if dst.exists() and not overwrite:
+            out.append(dst)
+            continue
+        chunk = AudioChunk(file_path=f).load(sr=sr)
+        chunk.save(dst, overwrite=True)
+        out.append(dst)
+    return out
+
+
 def run_audio_transcription(
     data_root: tp.Union[str, Path],
     asr: tp.Optional[ASRBase] = None,

@@ -28,7 +28,9 @@ __all__ = ["AudioChunk", "AudioFormat"]
 
 class AudioFormat:
     WAV = "wav"
-    SUPPORTED = (WAV,)
+    OGG = "ogg"
+    OPUS = "opus"
+    SUPPORTED = (WAV, OGG, OPUS, "oga")
 
     @staticmethod
     def check(path: tp.Union[str, Path]) -> bool:
@@ -80,7 +82,9 @@ class AudioChunk:
         if self.end is not None:
             return self.end - self.begin
         if self.file_path is not None:
-            return _wav_duration(self.file_path)
+            if Path(self.file_path).suffix.lower() == ".wav":
+                return _wav_duration(self.file_path)
+            return self.load().duration  # compressed formats: decode to know
         return 0.0
 
     @property
@@ -95,12 +99,27 @@ class AudioChunk:
     # -- IO -------------------------------------------------------------------
 
     def load(self, sr: tp.Optional[int] = None, dtype=np.float32) -> "AudioChunk":
-        """Read the window [begin, end) from file; optionally resample to ``sr``."""
+        """Read the window [begin, end) from file; optionally resample to ``sr``.
+
+        Formats: wav (scipy), ogg/vorbis and ogg/opus (system codec libs,
+        io/codecs.py — reference AudioChunk loads these via soundfile,
+        audio_io.py:39)."""
         if self.data is None:
             if self.file_path is None:
                 raise ValueError("AudioChunk has neither data nor file_path")
-            file_sr, data = _wavfile.read(str(self.file_path))
-            data = _to_float32(np.atleast_1d(data))
+            suffix = Path(self.file_path).suffix.lower()
+            if suffix in (".ogg", ".opus", ".oga"):
+                from speechflow_tpu.io import codecs
+
+                codec = codecs.ogg_codec_of(self.file_path)
+                if codec == "opus" or suffix == ".opus":
+                    data, file_sr = codecs.read_ogg_opus(self.file_path)
+                else:
+                    data, file_sr = codecs.read_ogg_vorbis(self.file_path)
+                data = _to_float32(np.atleast_1d(data))
+            else:
+                file_sr, data = _wavfile.read(str(self.file_path))
+                data = _to_float32(np.atleast_1d(data))
             if data.ndim > 1:
                 data = data.mean(axis=-1).astype(np.float32)
             b = int(round(self.begin * file_sr))
@@ -116,12 +135,23 @@ class AudioChunk:
         return self
 
     def save(self, path: tp.Union[str, Path], overwrite: bool = False) -> "AudioChunk":
+        """Write by extension: .wav (PCM16), .ogg (vorbis), .opus (opus 48k)."""
         path = Path(path)
         if path.exists() and not overwrite:
             raise FileExistsError(path)
         path.parent.mkdir(parents=True, exist_ok=True)
         pcm = np.clip(self.waveform, -1.0, 1.0)
-        _wavfile.write(str(path), int(self.sr), (pcm * 32767.0).astype(np.int16))
+        suffix = path.suffix.lower()
+        if suffix in (".ogg", ".oga"):
+            from speechflow_tpu.io import codecs
+
+            codecs.write_ogg_vorbis(path, pcm, int(self.sr))
+        elif suffix == ".opus":
+            from speechflow_tpu.io import codecs
+
+            codecs.write_ogg_opus(path, pcm, int(self.sr))
+        else:
+            _wavfile.write(str(path), int(self.sr), (pcm * 32767.0).astype(np.int16))
         return self
 
     def to_bytes(self) -> bytes:

@@ -268,3 +268,89 @@ def test_all_reference_segas_parse_and_roundtrip(tmp_path):
         back = AudioSeg.load(out)
         for tier in seg.grid.tiers:
             assert tier.labels == back.grid[tier.name].labels, (p, tier.name)
+
+
+# ---------------------------------------------------------------- ogg / opus
+
+
+DATA_DIR = Path(__file__).parent / "data"
+
+
+def _codec_snr(decoded: np.ndarray, original: np.ndarray, sr: int) -> float:
+    """SNR after aligning for codec latency (correlation-peak lag)."""
+    corr = np.correlate(decoded[: 2 * sr], original[: sr // 2], "valid")
+    lag = int(np.argmax(corr))
+    n = min(len(decoded) - lag, len(original), sr)
+    a, b = decoded[lag: lag + n], original[:n]
+    return float(10 * np.log10(np.sum(b ** 2) / (np.sum((a - b) ** 2) + 1e-12)))
+
+
+def test_ogg_vorbis_roundtrip(tmp_path):
+    """save(.ogg) -> load: libvorbisenc encode, libvorbisfile decode
+    (reference AudioChunk via soundfile, audio_io.py:39)."""
+    from speechflow_tpu.io import AudioChunk
+    from speechflow_tpu.io import codecs
+
+    if not codecs.OGG_AVAILABLE:
+        pytest.skip("system vorbis libraries unavailable")
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.2 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+    p = tmp_path / "a.ogg"
+    AudioChunk(data=wav, sr=sr).save(p)
+    assert p.stat().st_size < len(wav)  # actually compressed
+    back = AudioChunk(file_path=p).load()
+    assert back.sr == sr
+    assert _codec_snr(back.data, wav, sr) > 15.0
+
+
+def test_ogg_opus_roundtrip(tmp_path):
+    """save(.opus) -> load: libopus + the pure-python RFC 7845 Ogg layer."""
+    from speechflow_tpu.io import AudioChunk
+    from speechflow_tpu.io import codecs
+
+    if not codecs.OPUS_AVAILABLE:
+        pytest.skip("system opus library unavailable")
+    sr = 24000
+    t = np.arange(sr * 2) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = tmp_path / "a.opus"
+    AudioChunk(data=wav, sr=sr).save(p)
+    back = AudioChunk(file_path=p).load(sr=sr)  # opus decodes at 48k, resampled
+    assert back.sr == sr
+    assert _codec_snr(back.data, wav, sr) > 10.0
+
+
+def test_committed_ogg_fixtures_decode():
+    """The committed fixtures (tests/tools/make_ogg_fixtures.py) decode to
+    real speech-length audio and the codec sniffer identifies them."""
+    from speechflow_tpu.io import AudioChunk
+    from speechflow_tpu.io import codecs
+
+    ogg, opus = DATA_DIR / "fixture.ogg", DATA_DIR / "fixture.opus"
+    assert ogg.is_file() and opus.is_file()
+    assert codecs.ogg_codec_of(ogg) == "vorbis"
+    assert codecs.ogg_codec_of(opus) == "opus"
+    if codecs.OGG_AVAILABLE:
+        a = AudioChunk(file_path=ogg).load()
+        assert 1.5 < a.duration < 2.5 and np.abs(a.data).max() > 0.01
+    if codecs.OPUS_AVAILABLE:
+        b = AudioChunk(file_path=opus).load()
+        assert b.sr == 48000 and 1.5 < b.duration < 2.5
+        assert np.abs(b.data).max() > 0.01
+
+
+def test_annotator_media_to_opus(tmp_path):
+    from speechflow_tpu.annotator.asr import convert_media_to_opus
+    from speechflow_tpu.io import AudioChunk, codecs
+
+    if not codecs.OPUS_AVAILABLE:
+        pytest.skip("system opus library unavailable")
+    sr = 24000
+    wav = (0.3 * np.sin(2 * np.pi * 200 * np.arange(sr) / sr)).astype(np.float32)
+    AudioChunk(data=wav, sr=sr).save(tmp_path / "u1.wav")
+    AudioChunk(data=wav, sr=sr).save(tmp_path / "u2.wav")
+    out = convert_media_to_opus(tmp_path)
+    assert sorted(p.name for p in out) == ["u1.opus", "u2.opus"]
+    assert all(codecs.ogg_codec_of(p) == "opus" for p in out)
