@@ -137,20 +137,50 @@ class CTCPhonemeASR(ASRBase):
             CTCRecognizer, CTCRecognizerParams, model_ckpt)
         self.id_to_symbol = dict(id_to_symbol or {})
 
-    def transcribe(self, audio: AudioChunk) -> dict:
+    #: long-audio chunking: fixed windows share one jit compile; each window's
+    #: edges are overlap that the neighbouring window owns (reference: the
+    #: cloud ASR services chunk long audiobook files the same way,
+    #: asr_services/cloud_asr.py:30)
+    chunk_s: float = 20.0
+    overlap_s: float = 0.5
+
+    def _decode_window(self, wav: np.ndarray, sr: int):
         import jax.numpy as jnp
 
         from speechflow_tpu.models.asr import greedy_ctc_decode
 
-        sr = self.params.sample_rate
-        chunk = audio if audio.sr == sr else audio.resample(sr)
-        logits = np.asarray(self.model.recognize(
-            jnp.asarray(chunk.waveform[None])))[0]
+        logits = np.asarray(self.model.recognize(jnp.asarray(wav[None])))[0]
         hop_s = self.params.hop_length * self.params.time_stride / sr
         ids, spans = greedy_ctc_decode(logits, hop_s=hop_s)
         tokens = [self.id_to_symbol.get(int(i), str(int(i))) for i in ids]
+        return [(tok, float(b), float(e)) for tok, (b, e) in zip(tokens, spans)]
+
+    def transcribe(self, audio: AudioChunk) -> dict:
+        sr = self.params.sample_rate
+        chunk = audio if audio.sr == sr else audio.resample(sr)
+        wav = np.asarray(chunk.waveform, np.float32)
+        win = int(self.chunk_s * sr)
+        if len(wav) <= win:
+            stamps = self._decode_window(wav, sr)
+        else:
+            ov = int(self.overlap_s * sr)
+            step = win - 2 * ov
+            stamps = []
+            start = 0
+            while start < len(wav):
+                piece = wav[start: start + win]
+                if len(piece) < win:  # zero-pad the tail to the shared shape
+                    piece = np.pad(piece, (0, win - len(piece)))
+                core_lo = 0.0 if start == 0 else self.overlap_s
+                core_hi = (self.chunk_s - self.overlap_s
+                           if start + win < len(wav) else self.chunk_s)
+                ofs = start / sr
+                for tok, b, e in self._decode_window(piece, sr):
+                    mid = 0.5 * (b + e)
+                    if core_lo <= mid < core_hi:  # window owns this token
+                        stamps.append((tok, ofs + b, ofs + e))
+                start += step
         return {
-            "text": " ".join(tokens),
-            "timestamps": [[tok, float(b), float(e)]
-                           for tok, (b, e) in zip(tokens, spans)],
+            "text": " ".join(t for t, _, _ in stamps),
+            "timestamps": [[tok, b, e] for tok, b, e in stamps],
         }
