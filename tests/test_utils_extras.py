@@ -149,11 +149,13 @@ def test_tts_features_e2e(rng):
                                  speaker_emb_dim=16, postnet_dim=48,
                                  max_output_length=64)
     tf = TTSFeatures(p, rngs=nnx.Rngs(0))
-    mel, ft_losses = tf(_inputs(rng))
+    mel, ft_losses, aux = tf(_inputs(rng))
     assert mel.shape[-1] == 40
     assert any(k.startswith("ft_") for k in ft_losses)
     for v in ft_losses.values():
         assert np.isfinite(float(v))
+    # NSF feed: frame-level pitch expanded through the LR attention
+    assert "pitch" in aux and aux["pitch"].shape[0] == mel.shape[0]
 
 
 @pytest.mark.slow
