@@ -235,6 +235,7 @@ class ParallelTTSModel(nnx.Module):
         built-in embedders by short name, else any input field; '<detach'
         stops gradients; 3-D features are time-averaged."""
         p = self.p
+        det = not training
         base, *mods = name.split("<", 1)
         if base == "speaker":
             if p.speaker_emb_mode == "table":
@@ -245,7 +246,7 @@ class ParallelTTSModel(nnx.Module):
             v = self.lang_emb(jnp.maximum(inputs.lang_id, 0))
         elif base == "style":
             v, vae = self.style_encoder(inputs.mel, inputs.mel_lengths,
-                                        deterministic=not training)
+                                        deterministic=det)
             if isinstance(vae, dict):
                 losses.update(vae)
             elif vae is not None:
@@ -277,6 +278,7 @@ class ParallelTTSModel(nnx.Module):
     def _global_condition(self, inputs: TTSForwardInput, training: bool,
                           losses: dict) -> jnp.ndarray:
         p = self.p
+        det = not training
         if p.condition_sources:
             return jnp.concatenate(
                 [self._lookup_condition(n, inputs, training, losses)
@@ -291,7 +293,7 @@ class ParallelTTSModel(nnx.Module):
             parts.append(self.lang_emb(jnp.maximum(inputs.lang_id, 0)))
         if p.use_style_encoder:
             style, vae = self.style_encoder(inputs.mel, inputs.mel_lengths,
-                                            deterministic=not training)
+                                            deterministic=det)
             parts.append(style)
             if isinstance(vae, dict):  # GMVAE loss terms
                 losses.update(vae)
@@ -310,8 +312,13 @@ class ParallelTTSModel(nnx.Module):
 
     def __call__(self, inputs: TTSForwardInput, training: bool = True,
                  t_out: tp.Optional[int] = None,
-                 cfm_timesteps: tp.Optional[int] = None) -> TTSOutput:
+                 cfm_timesteps: tp.Optional[int] = None,
+                 deterministic: tp.Optional[bool] = None) -> TTSOutput:
+        # ``deterministic`` decouples dropout from teacher forcing: the
+        # quality harness evaluates spectral fit teacher-forced
+        # (training=True) but noise-free (deterministic=True)
         p = self.p
+        det = (not training) if deterministic is None else deterministic
         losses: tp.Dict[str, jnp.ndarray] = {}
         extra: tp.Dict[str, jnp.ndarray] = {}
 
@@ -335,7 +342,7 @@ class ParallelTTSModel(nnx.Module):
                           "energy": inputs.aggregate_energy}
         elif p.encoder_type == "ling_condition":
             enc_kwargs = {"ling_feat": inputs.ling_feat, "lm_feat": inputs.lm_feat}
-        x = self.encoder(x, tok_lens, cond, deterministic=not training, **enc_kwargs)
+        x = self.encoder(x, tok_lens, cond, deterministic=det, **enc_kwargs)
         if isinstance(x, list):
             # multi-stream content (ContextEncoder concat=False): per-stream
             # ConditionalLayers built in __init__ against stream_dims
@@ -349,7 +356,7 @@ class ParallelTTSModel(nnx.Module):
             t_out = inputs.mel.shape[1] if inputs.mel is not None else p.max_output_length
         x, out_lengths, var_preds, attn, va_losses = self.variance_adaptor(
             x, tok_lens, inputs, t_out, training=training,
-            deterministic=not training)
+            deterministic=det)
         losses.update(va_losses)
         if inputs.mel_lengths is not None and training:
             out_lengths = inputs.mel_lengths
@@ -377,9 +384,9 @@ class ParallelTTSModel(nnx.Module):
             else:
                 dec_out, gate = self.decoder.generate(x, out_lengths, max_frames=t_out)
         else:
-            dec_out = self.decoder(x, out_lengths, cond, deterministic=not training)
+            dec_out = self.decoder(x, out_lengths, cond, deterministic=det)
 
-        post = dec_out + self.postnet(dec_out, deterministic=not training)
+        post = dec_out + self.postnet(dec_out, deterministic=det)
         mask = sequence_mask(out_lengths, post.shape[1])
         post = apply_mask(post, mask)
         spec = jnp.stack([dec_out, post])
