@@ -1,12 +1,19 @@
 """Driver benchmark: end-to-end TTS throughput on one chip.
 
-Measures the flagship path — token ids -> ParallelTTSModel (CFM decoder,
-Euler solve) -> mel -> Vocos backbone + ISTFT head -> waveform — as ONE jit
-program, and reports generated-audio-seconds per wall-second per chip
-(x realtime). BASELINE.json north star: >= 20x realtime per chip
-(vs_baseline = value / 20).
+Headline: the toy-scale e2e program (token ids -> ParallelTTSModel CFM ->
+mel -> Vocos + ISTFT -> waveform) as ONE jit program, reported as
+generated-audio-seconds per wall-second per chip (x realtime).
+BASELINE.json north star: >= 20x realtime per chip (vs_baseline = value/20).
 
-Designed for the axon TPU tunnel: a single compiled program, generous compile
+Beyond the headline, ``stages`` carries (VERDICT r2 next-steps #4/#5):
+  * toy per-stage xrt + per-stage MFU (XLA flop estimate / time / bf16 peak)
+  * flagship rows — the model built from configs/tts_model.yml DEFAULT dims
+    (ling/lm/xpbert features, variance adaptor, gate, CFG-enabled CFM) and the
+    bigvgan vocoder (snake_upsample head) from configs/vocoder_bigvgan.yml
+  * gan_train_steps_per_s — one full bigvgan GAN micro-step (gen+disc) at
+    batch 32, bf16, grad-accum 8 (reference mel_bigvgan.yml:15,25-26)
+
+Designed for the axon TPU tunnel: single compiled programs, generous compile
 timeout, retry on the transient UNIMPLEMENTED the remote-compile service
 returns under load.
 """
@@ -14,6 +21,7 @@ returns under load.
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -26,23 +34,70 @@ SR = 24000
 CFM_STEPS = 30            # reference default (cfm inference n_timesteps=30)
 TARGET_XRT = 20.0         # BASELINE.json: >=20x realtime per chip
 ITERS = 10
+PEAK_FLOPS = 197e12       # v5e bf16 peak
+
+GAN_BATCH = 32
+GAN_CHUNK = 24576         # 1.024 s @ 24 kHz, 96 mel frames
+
+REPO = Path(__file__).resolve().parent
 
 
-def build():
+def _bf16(tree):
+    import jax
     import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
+
+def _tts_inputs(rng, flagship: bool = False):
+    import jax.numpy as jnp
+
+    from speechflow_tpu.models.tts.data_types import TTSForwardInput
+
+    durs = np.full((BATCH, N_TOKENS), T_FRAMES // N_TOKENS, np.float32)
+    kw = {}
+    if flagship:
+        kw = dict(
+            ling_feat=jnp.asarray(rng.uniform(0, 1, (BATCH, N_TOKENS, 56)),
+                                  jnp.float32),
+            lm_feat=jnp.asarray(rng.normal(size=(BATCH, N_TOKENS, 32)),
+                                jnp.float32),
+            xpbert_feat=jnp.asarray(rng.normal(size=(BATCH, N_TOKENS, 32)),
+                                    jnp.float32),
+        )
+    return TTSForwardInput(
+        transcription=jnp.asarray(rng.integers(1, 100, (BATCH, N_TOKENS)),
+                                  jnp.int32),
+        transcription_lengths=jnp.full((BATCH,), N_TOKENS, jnp.int32),
+        speaker_id=jnp.asarray(rng.integers(0, 8, (BATCH,)), jnp.int32),
+        lang_id=jnp.zeros((BATCH,), jnp.int32),
+        durations=jnp.asarray(durs),
+        **kw,
+    )
+
+
+def build_toy():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
     from flax import nnx
 
     from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
-    from speechflow_tpu.models.tts.data_types import TTSForwardInput
     from speechflow_tpu.models.vocoder import Vocos, VocosParams
 
-    acoustic = ParallelTTSModel(ParallelTTSParams.create(
+    toy_params = dict(
         n_symbols=100, n_speakers=8, n_mels=100,
         token_emb_dim=256, encoder_dim=256, encoder_layers=4,
         decoder_type="cfm", decoder_dim=256, decoder_layers=4,
         cfm_n_timesteps=CFM_STEPS, speaker_emb_dim=128, postnet_dim=256,
         max_output_length=T_FRAMES, dropout=0.0,
-    ), rngs=nnx.Rngs(0))
+    )
+    acoustic = ParallelTTSModel(ParallelTTSParams.create(toy_params),
+                                rngs=nnx.Rngs(0))
     vocoder = Vocos(VocosParams(
         feature_extractor="audio", input_feature="mel", n_mels=100,
         backbone="vocos", dim=512, n_layers=8, head="istft",
@@ -51,18 +106,9 @@ def build():
 
     a_def, a_state = nnx.split(acoustic)
     v_def, v_state = nnx.split(vocoder)
-
     # bf16 weights: standard TPU serving precision; measured +42% throughput
     # over fp32 on v5e for this program (548x -> 779x realtime)
-    def to_bf16(tree):
-        import jax
-
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
-
-    a_state = to_bf16(a_state)
-    v_state = to_bf16(v_state)
+    a_state, v_state = _bf16(a_state), _bf16(v_state)
 
     def tts(a_state, v_state, inputs):
         am = nnx.merge(a_def, a_state)
@@ -79,16 +125,8 @@ def build():
         return nnx.merge(v_def, v_state)({"mel": mel})
 
     # training-throughput program: one optimizer step of the acoustic model
-    # (bf16 compute via weights cast, fp32 loss), reported as frames/s
-    import optax
-
-    train_model = ParallelTTSModel(ParallelTTSParams.create(
-        n_symbols=100, n_speakers=8, n_mels=100,
-        token_emb_dim=256, encoder_dim=256, encoder_layers=4,
-        decoder_type="cfm", decoder_dim=256, decoder_layers=4,
-        cfm_n_timesteps=CFM_STEPS, speaker_emb_dim=128, postnet_dim=256,
-        max_output_length=T_FRAMES, dropout=0.0,
-    ), rngs=nnx.Rngs(0))
+    train_model = ParallelTTSModel(ParallelTTSParams.create(toy_params),
+                                   rngs=nnx.Rngs(0))
     opt = nnx.Optimizer(train_model, optax.adamw(1e-4), wrt=nnx.Param)
 
     @nnx.jit
@@ -108,16 +146,7 @@ def build():
         return loss
 
     rng = np.random.default_rng(0)
-    durs = np.full((BATCH, N_TOKENS), T_FRAMES // N_TOKENS, np.float32)
-    inputs = TTSForwardInput(
-        transcription=jnp.asarray(rng.integers(1, 100, (BATCH, N_TOKENS)), jnp.int32),
-        transcription_lengths=jnp.full((BATCH,), N_TOKENS, jnp.int32),
-        speaker_id=jnp.asarray(rng.integers(0, 8, (BATCH,)), jnp.int32),
-        lang_id=jnp.zeros((BATCH,), jnp.int32),
-        durations=jnp.asarray(durs),
-    )
-    import dataclasses
-
+    inputs = _tts_inputs(rng)
     train_inputs = dataclasses.replace(
         inputs,
         mel=jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)).astype(np.float32)),
@@ -125,16 +154,102 @@ def build():
         aggregate_pitch=jnp.asarray(rng.uniform(100, 300, (BATCH, N_TOKENS)).astype(np.float32)),
         aggregate_energy=jnp.asarray(rng.uniform(0, 10, (BATCH, N_TOKENS)).astype(np.float32)),
     )
-    import jax
-
-    mel_in = jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)),
-                         dtype=jnp.bfloat16)
+    mel_in = jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)), dtype=jnp.bfloat16)
     stages = {
         "acoustic": (jax.jit(acoustic_only), (a_state, inputs)),
         "vocoder": (jax.jit(vocoder_only), (v_state, mel_in)),
         "train_step": (train_step, (train_model, opt, train_inputs)),
     }
     return tts, (a_state, v_state, inputs), stages
+
+
+def build_flagship_stages():
+    """Inference programs built from the SHIPPED default configs: the
+    tts_model.yml model section (all conditioning features, variance adaptor,
+    gate, CFM with batched CFG) and the vocoder_bigvgan.yml generator."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.models.tts import ParallelTTSModel, ParallelTTSParams
+    from speechflow_tpu.models.vocoder import Vocos, VocosParams
+
+    m = Config.create_from_file(REPO / "configs" / "tts_model.yml",
+                                value_select=["default"]).section("model").to_dict()
+    m.update(n_symbols=100, n_speakers=8, n_langs=2, n_mels=100,
+             max_output_length=T_FRAMES, dropout=0.0,
+             cfm_cfg_scale=1.0)  # CFG on: doubled-batch estimator each step
+    acoustic = ParallelTTSModel(ParallelTTSParams.create(m), rngs=nnx.Rngs(0))
+
+    v = Config.create_from_file(REPO / "configs" / "vocoder_bigvgan.yml",
+                                value_select=["default"]).section("model").to_dict()
+    vocoder = Vocos(VocosParams.create(dict(v, feature_extractor="audio",
+                                            input_feature="mel")),
+                    rngs=nnx.Rngs(1))
+
+    a_def, a_state = nnx.split(acoustic)
+    v_def, v_state = nnx.split(vocoder)
+    a_state, v_state = _bf16(a_state), _bf16(v_state)
+
+    def acoustic_only(a_state, inputs):
+        am = nnx.merge(a_def, a_state)
+        return am(inputs, training=False, t_out=T_FRAMES).spectrogram[-1]
+
+    def vocoder_only(v_state, mel):
+        return nnx.merge(v_def, v_state)({"mel": mel})
+
+    rng = np.random.default_rng(0)
+    inputs = _tts_inputs(rng, flagship=True)
+    mel_in = jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)), jnp.bfloat16)
+    return {
+        "flagship_acoustic": (jax.jit(acoustic_only), (a_state, inputs)),
+        "flagship_vocoder": (jax.jit(vocoder_only), (v_state, mel_in)),
+    }
+
+
+def build_gan_step():
+    """One bigvgan GAN micro-step (gen fwd+bwd, disc fwd+bwd, optimizer) at
+    production dims — the program real vocoder training spends months in."""
+    from flax import nnx
+
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.models.vocoder import (
+        Vocos,
+        VocoderBatchProcessor,
+        VocoderDiscriminator,
+        VocosParams,
+        vocoder_disc_criterion,
+        vocoder_gen_criterion,
+    )
+    from speechflow_tpu.training import GANTrainer
+    from speechflow_tpu.training.optimizer import OptimizerConfig
+    from speechflow_tpu.training.trainer import TrainerConfig
+
+    cfg = Config.create_from_file(REPO / "configs" / "vocoder_bigvgan.yml",
+                                  value_select=["default"])
+    v = cfg.section("model").to_dict()
+    d = cfg.section("discriminator").to_dict()
+    gen = Vocos(VocosParams.create(v), rngs=nnx.Rngs(0))
+    disc = VocoderDiscriminator(
+        periods=tuple(d["periods"]),
+        resolutions=tuple(tuple(r) for r in d["resolutions"]),
+        channels=int(d["channels"]), rngs=nnx.Rngs(1))
+    gan = GANTrainer(
+        gen, disc,
+        vocoder_gen_criterion(SR, n_mels=int(v["n_mels"])),
+        vocoder_disc_criterion(),
+        VocoderBatchProcessor(),
+        gen_optimizer=OptimizerConfig(lr=2e-4, grad_accum=8),
+        disc_optimizer=OptimizerConfig(lr=2e-4, grad_accum=8),
+        config=TrainerConfig(max_steps=10**9, log_every=10**9,
+                             mixed_precision=True),
+        disc_every=1,
+    )
+    rng = np.random.default_rng(0)
+    wav = rng.uniform(-0.5, 0.5, (GAN_BATCH, GAN_CHUNK)).astype(np.float32)
+    batch = {"waveform": wav}
+    return gan, batch
 
 
 def _time_stage(fn, args, iters: int = 5) -> float:
@@ -152,10 +267,24 @@ def _time_stage(fn, args, iters: int = 5) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _stage_mfu(fn, args, sec: float):
+    """Best-effort MFU from XLA's own flop estimate."""
+    try:
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0 and sec > 0:
+            return round(100.0 * flops / sec / PEAK_FLOPS, 2)
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
+    return None
+
+
 def main():
     import jax
 
-    fn, args, stages = build()
+    fn, args, stages = build_toy()
     jitted = jax.jit(fn)
 
     # warm up (compile) with retries — the axon remote-compile service is
@@ -191,11 +320,14 @@ def main():
     audio_seconds = BATCH * (T_FRAMES - 1) * HOP / SR * ITERS
     xrt = audio_seconds / elapsed
 
-    # per-stage breakdown (VERDICT weak #5): acoustic (prior + CFM solve),
-    # vocoder, and a full training step — so a regression in any one stage is
+    # per-stage breakdown + per-stage MFU: a regression in any one stage is
     # visible, not hidden inside the e2e number
     batch_audio_s = BATCH * (T_FRAMES - 1) * HOP / SR
     stage_report = {}
+    try:
+        stages.update(build_flagship_stages())
+    except Exception as e:  # noqa: BLE001
+        stage_report["flagship_error"] = str(e)[:120]
     for name, (sfn, sargs) in stages.items():
         try:
             sec = _time_stage(sfn, sargs)
@@ -204,22 +336,32 @@ def main():
                 stage_report["train_steps_per_s"] = round(1.0 / sec, 3)
             else:
                 stage_report[f"{name}_xrt"] = round(batch_audio_s / sec, 1)
+            mfu = _stage_mfu(sfn, sargs, sec)
+            if mfu is not None:
+                stage_report[f"{name}_mfu_pct"] = mfu
         except Exception as e:  # noqa: BLE001 — stage timing must not kill the bench
             stage_report[f"{name}_error"] = str(e)[:120]
 
-    # rough MFU: XLA's own flop estimate for the e2e program / measured time,
-    # against the v5e bf16 peak (~197 TFLOP/s)
+    # bigvgan GAN training micro-step (gen+disc, bf16, accum 8)
     try:
-        cost = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        if flops > 0:
-            sec_per_call = elapsed / ITERS
-            stage_report["e2e_mfu_pct"] = round(
-                100.0 * flops / sec_per_call / 197e12, 2)
-    except Exception:  # noqa: BLE001 — cost analysis is best-effort
-        pass
+        gan, batch = build_gan_step()
+        gan.training_step(batch)  # compile both programs
+        t0 = time.perf_counter()
+        n = 5
+        for _ in range(n):
+            logs = gan.training_step(batch)
+        float(list(logs.values())[0])  # barrier
+        sec = (time.perf_counter() - t0) / n
+        stage_report["gan_train_steps_per_s"] = round(1.0 / sec, 3)
+        stage_report["gan_train_audio_s_per_s"] = round(
+            GAN_BATCH * GAN_CHUNK / SR / sec, 1)
+    except Exception as e:  # noqa: BLE001
+        stage_report["gan_error"] = str(e)[:120]
+
+    # e2e MFU (XLA flop estimate / measured time vs v5e bf16 peak)
+    mfu = _stage_mfu(jitted, args, elapsed / ITERS)
+    if mfu is not None:
+        stage_report["e2e_mfu_pct"] = mfu
 
     print(json.dumps({
         "metric": "e2e_tts_xrealtime_per_chip",

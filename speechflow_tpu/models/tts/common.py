@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from speechflow_tpu.ops.attention import flash_attention_fn
 from speechflow_tpu.utils.masks import sequence_mask
 
 __all__ = [
@@ -182,7 +183,8 @@ class TransformerBlock(nnx.Module):
         self.norm1 = nnx.LayerNorm(dim, rngs=rngs)
         self.attn = nnx.MultiHeadAttention(
             num_heads=n_heads, in_features=dim, qkv_features=dim,
-            dropout_rate=dropout, decode=False, rngs=rngs)
+            dropout_rate=dropout, decode=False,
+            attention_fn=flash_attention_fn, rngs=rngs)
         self.norm2 = nnx.LayerNorm(dim, rngs=rngs)
         self.ffn1 = nnx.Linear(dim, ffn_mult * dim, rngs=rngs)
         self.ffn2 = nnx.Linear(ffn_mult * dim, dim, rngs=rngs)
@@ -215,7 +217,8 @@ class DiTBlock(nnx.Module):
         self.norm1 = nnx.LayerNorm(dim, use_bias=False, use_scale=False, rngs=rngs)
         self.attn = nnx.MultiHeadAttention(num_heads=n_heads, in_features=dim,
                                            qkv_features=dim, dropout_rate=dropout,
-                                           decode=False, rngs=rngs)
+                                           decode=False,
+                                           attention_fn=flash_attention_fn, rngs=rngs)
         self.norm2 = nnx.LayerNorm(dim, use_bias=False, use_scale=False, rngs=rngs)
         self.ffn1 = nnx.Linear(dim, ffn_mult * dim, rngs=rngs)
         self.ffn2 = nnx.Linear(ffn_mult * dim, dim, rngs=rngs)

@@ -61,15 +61,19 @@ def kaiser_sinc_filter(cutoff: float = 0.25, half_width: float = 0.15,
 
 
 def _snake(x, alpha, beta):
-    a = jnp.exp(alpha)
-    b = jnp.exp(beta)
-    return x + (1.0 / (b + 1e-9)) * jnp.sin(a * x) ** 2
+    # params follow the activation dtype (bf16 under mixed precision) so the
+    # surrounding convs stay single-dtype
+    a = jnp.exp(alpha).astype(x.dtype)
+    b = jnp.exp(beta).astype(x.dtype)
+    return x + (1.0 / (b + jnp.asarray(1e-9, x.dtype))) * jnp.sin(a * x) ** 2
 
 
 def anti_alias_snake_xla(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
                          taps: int = 12) -> jnp.ndarray:
     """XLA composition: up2 + FIR -> snake -> FIR -> down2. (B, T, C)."""
-    filt = jnp.asarray(kaiser_sinc_filter(taps=taps))
+    # filter follows the activation dtype so bf16 mixed-precision training
+    # (mel_bigvgan recipe) keeps a single-dtype conv
+    filt = jnp.asarray(kaiser_sinc_filter(taps=taps), dtype=x.dtype)
     b, t, c = x.shape
 
     def depthwise(v, kernel):
