@@ -56,7 +56,15 @@ def _tts_inputs(rng, flagship: bool = False):
 
     from speechflow_tpu.models.tts.data_types import TTSForwardInput
 
-    durs = np.full((BATCH, N_TOKENS), T_FRAMES // N_TOKENS, np.float32)
+    # realistic token durations (VERDICT r2 weak #2): lognormal like real
+    # phoneme lengths (mode ~6 frames, long tail), renormalized per utterance
+    # to fill T_FRAMES — gate/attention/LR see non-uniform alignment
+    raw = rng.lognormal(mean=1.8, sigma=0.5, size=(BATCH, N_TOKENS))
+    durs = np.maximum(
+        np.round(raw / raw.sum(-1, keepdims=True) * T_FRAMES), 1.0)
+    fix = T_FRAMES - durs.sum(-1)  # rounding residue -> last token
+    durs[:, -1] = np.maximum(durs[:, -1] + fix, 1.0)
+    durs = durs.astype(np.float32)
     kw = {}
     if flagship:
         kw = dict(
