@@ -41,3 +41,61 @@ def test_anti_alias_grad(rng):
                  argnums=(0, 1, 2))(x, alpha, beta)
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
+
+
+class TestFusedAttention:
+    """VMEM-resident fused attention (ops/attention.py): interpreter-mode
+    numerics vs plain XLA attention, masking, and the XLA-recompute VJP."""
+
+    def _ref(self, q, k, v, valid):
+        import jax
+
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+        logits = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+        logits = jnp.where(valid[:, None, :] > 0, logits, -1e30)
+        w = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bqk,bkd->bqd", w, v.astype(jnp.float32))
+
+    def test_forward_matches_xla(self, rng):
+        from speechflow_tpu.ops.attention import _fused_attn_fwd_impl
+
+        bh, t, dh = 4, 256, 64
+        q = jnp.asarray(rng.normal(size=(bh, t, dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(bh, t, dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(bh, t, dh)), jnp.float32)
+        lens = np.array([200, 256, 128, 250])[:, None]
+        valid = jnp.asarray((np.arange(t)[None] < lens).astype(np.float32))
+        out = _fused_attn_fwd_impl(q, k, v, valid, interpret=True)
+        ref = self._ref(q, k, v, valid)
+        # compare on valid query rows only (pad queries see only pads)
+        m = np.asarray(valid)[..., None]
+        np.testing.assert_allclose(np.asarray(out) * m, np.asarray(ref) * m,
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_vjp_matches_xla_grads(self, rng):
+        import jax
+
+        from speechflow_tpu.ops import attention as A
+
+        bh, t, dh = 2, 128, 16
+        q = jnp.asarray(rng.normal(size=(bh, t, dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(bh, t, dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(bh, t, dh)), jnp.float32)
+        valid = jnp.ones((bh, t), jnp.float32)
+
+        def loss_fused(q, k, v):
+            out = A._fused_attn_fwd_impl(q, k, v, valid, interpret=True)
+            return (out * out).sum()
+
+        def loss_ref(q, k, v):
+            out = self._ref(q, k, v, valid)
+            return (out * out).sum()
+
+        # the custom_vjp backward is pure XLA; check it against autodiff of
+        # the reference formulation (forward checked above)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        out = A._fused_attn_fwd_impl(q, k, v, valid, interpret=True)
+        g_fused = A._fused_attention_bwd((q, k, v, valid), 2.0 * out)
+        for a, b in zip(g_fused[:3], g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-4, rtol=3e-4)
