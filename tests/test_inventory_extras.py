@@ -129,9 +129,13 @@ def test_ssml_through_eval_interface(tmp_path, rng):
     rate = np.asarray(inputs.rate_modifier)[0]
     pitch = np.asarray(inputs.pitch_modifier)[0]
     n = int(np.asarray(inputs.transcription_lengths)[0])
-    # 'world' span tokens get 0.6 rate / 1.2 pitch; the rest stay 1.0
-    assert (rate[:n] == 0.6).sum() == 5
-    assert (np.isclose(pitch[:n], 1.2)).sum() == 5
+    # 'world' span tokens get 0.6 rate / 1.2 pitch; the rest stay 1.0.
+    # Expected count comes from the interface's own tokenizer (trained G2P
+    # -> phoneme count; char fallback -> 5), so the test is frontend-agnostic
+    n_world = len(iface.text_processor.parser("world"))
+    assert n_world >= 1
+    assert (rate[:n] == 0.6).sum() == n_world
+    assert (np.isclose(pitch[:n], 1.2)).sum() == n_world
     assert np.isclose(rate[:n][rate[:n] != 0.6], 1.0).all()
 
     # synthesis with modifiers stays finite end to end
