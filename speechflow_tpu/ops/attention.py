@@ -10,11 +10,16 @@ blockwise in VMEM and never writes the T^2 tensor.
 
 This module exposes ``flash_attention_fn``, a drop-in ``attention_fn`` for
 ``nnx.MultiHeadAttention``: on TPU with supported shapes it runs the Pallas
-kernel (forward + custom-vjp backward, so training also benefits); anywhere
-else — CPU tests, the virtual-device mesh dryrun, attention with bias or
-dropout — it falls back to flax's reference dot-product attention.  Length
-masking maps onto the kernel's SegmentIds (valid=1, pad=0: pads only attend
-to pads, and padded positions are masked downstream anyway).
+kernel; anywhere else — CPU tests, the virtual-device mesh dryrun, the
+training path (non-deterministic), attention with bias — it falls back to
+flax's reference dot-product attention.  Length masking: padded KEYS are
+masked out of every softmax row and padded QUERY outputs are zeroed
+(slightly stronger than flax's masked softmax, which leaves a uniform
+average of all values at fully-masked rows).  Valid positions agree with
+the XLA path to ~1e-3 in bf16; note that under *predicted* durations a
+1e-3 perturbation can shift a hard length-regulator frame boundary, so
+end-to-end mel comparisons between the two paths are only meaningful
+teacher-forced.
 """
 
 from __future__ import annotations
@@ -27,11 +32,16 @@ from flax.nnx.nn import attention as _nnx_attention
 
 __all__ = ["flash_attention_fn", "use_flash_attention"]
 
-# Default OFF: the round-2 probe measured the stock Pallas kernel SLOWER than
-# XLA at the CFM shapes (B32 H4 T1024 dh64 bf16: 5.7 ms vs 2.7 ms —
-# docs/history.md).  bench.py A/Bs this switch; flip the default only with a
-# measured win on real hardware.
-_FLASH_ENABLED = False
+# Default ON for the inference (deterministic) path: measured on a real v5e
+# chip with the relay overhead amortized (50 calls inside one scan program),
+# this kernel beats XLA's fused attention forward ~1.9x at the CFM shapes —
+# B32 H4 T1024 dh64 bf16: 1.17 ms vs 2.20 ms; with CFG's doubled batch (B64):
+# 2.05 ms vs 4.18 ms.  Training stays on XLA: the fwd+bwd total measured
+# SLOWER through the recompute VJP (5.27 ms vs 4.53 ms at B32), so
+# ``_flash_ok`` requires ``deterministic=True``.  (The round-2 probe that
+# measured the *stock* Pallas flash kernel slower — 5.7 ms vs 2.7 ms — was
+# per-dispatch timing dominated by the ~35 ms relay round trip.)
+_FLASH_ENABLED = True
 
 
 def use_flash_attention(enabled: bool) -> None:
@@ -43,8 +53,10 @@ def use_flash_attention(enabled: bool) -> None:
 def _flash_ok(query, key, bias, dropout_rate, deterministic, mask) -> bool:
     if not _FLASH_ENABLED or bias is not None:
         return False
-    if dropout_rate > 0.0 and not deterministic:
-        return False  # the Pallas kernel has no dropout
+    if not deterministic:
+        # training path: no dropout in the kernel, and the XLA-recompute
+        # backward measured slower than XLA's own fused attention bwd
+        return False
     try:
         platform = query.devices().pop().platform if hasattr(query, "devices") \
             else jax.default_backend()
@@ -62,12 +74,22 @@ def _flash_ok(query, key, bias, dropout_rate, deterministic, mask) -> bool:
     # K/V for one (batch, head) must fit VMEM comfortably (~16 MB/core)
     if tk * dh * 4 * 2 > 4 * 1024 * 1024:
         return False
+    # the (BH, T) validity matrix rides VMEM whole (Mosaic's sublane rule
+    # forbids a (1, T) block) — bound it too
+    if b * h * tk * 4 > 4 * 1024 * 1024:
+        return False
     return True
 
 
 def _fused_attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
     """One (batch*head, q-block) program: K/V fully VMEM-resident, the
-    (BQ, T) logits live and die in VMEM — zero T^2 HBM traffic."""
+    (BQ, T) logits live and die in VMEM — zero T^2 HBM traffic.
+
+    ``valid_ref`` is the whole (BH, T) validity matrix (Mosaic rejects a
+    (1, T) block — leading block dims must be sublane-divisible — so the
+    full array rides VMEM and each program dynamically picks its row)."""
+    from jax.experimental import pallas as pl
+
     q = q_ref[0]                    # (BQ, dh)
     k = k_ref[0]                    # (T, dh)
     v = v_ref[0]                    # (T, dh)
@@ -75,7 +97,8 @@ def _fused_attn_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref):
     logits = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
     neg = jnp.float32(-1e30)
-    logits = logits + (1.0 - valid_ref[0].astype(jnp.float32))[None, :] * neg
+    valid_row = valid_ref[pl.program_id(0)]          # (T,)
+    logits = logits + (1.0 - valid_row.astype(jnp.float32))[None, :] * neg
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
@@ -105,7 +128,7 @@ def _fused_attn_fwd_impl(q, k, v, valid, block_q: int = 256,
             pl.BlockSpec((1, bq, dh), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, t, dh), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((bh, t), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, dh), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, t, dh), q.dtype),
@@ -178,5 +201,9 @@ def flash_attention_fn(query, key, value, bias=None, mask=None,
     else:
         valid = jnp.ones((b * h, t), jnp.float32)
     out = _fused_attention(q, k, v, valid)
+    # zero padded-query rows: the kernel (like XLA's masked softmax) leaves
+    # arbitrary values there, and zeros are the safe thing for any downstream
+    # op that forgets to re-mask
+    out = out * valid[..., None].astype(out.dtype)
     return jnp.transpose(out.reshape(b, h, t, dh),
                          (0, 2, 1, 3)).astype(query.dtype)

@@ -99,3 +99,37 @@ class TestFusedAttention:
         for a, b in zip(g_fused[:3], g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-4, rtol=3e-4)
+
+    def test_wrapper_masks_and_zeroes_padded_queries(self, rng, monkeypatch):
+        """flash_attention_fn end to end (mask recovery from the 4-D block
+        mask, head folding, padded-query zeroing) — gate and kernel forced
+        onto the CPU interpreter."""
+        import functools
+
+        from flax.nnx.nn import attention as nnx_attention
+
+        from speechflow_tpu.ops import attention as A
+
+        monkeypatch.setattr(A, "_flash_ok", lambda *a, **k: True)
+        monkeypatch.setattr(A, "_fused_attn_fwd_impl",
+                            functools.partial(A._fused_attn_fwd_impl.__wrapped__
+                                              if hasattr(A._fused_attn_fwd_impl, "__wrapped__")
+                                              else A._fused_attn_fwd_impl,
+                                              interpret=True))
+        b, t, h, dh = 2, 128, 2, 16
+        q = jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+        lens = np.array([128, 70])
+        valid = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+        mask = valid[:, None, None, :] & valid[:, None, :, None]
+
+        out = np.asarray(A.flash_attention_fn(q, k, v, mask=mask,
+                                              deterministic=True))
+        ref = np.asarray(nnx_attention.dot_product_attention(
+            q, k, v, mask=mask, deterministic=True))
+        vm = np.asarray(valid)
+        # valid positions agree with flax's reference attention
+        np.testing.assert_allclose(out[vm], ref[vm], atol=2e-5, rtol=2e-5)
+        # padded query rows are exactly zero (flax leaves a uniform average)
+        assert np.abs(out[~vm]).max() == 0.0
