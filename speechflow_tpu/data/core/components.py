@@ -16,7 +16,9 @@ Example config: configs/tts_data_24khz.yml in this repo.
 from __future__ import annotations
 
 import functools
+import hashlib
 import logging
+import os
 import typing as tp
 from pathlib import Path
 
@@ -78,6 +80,30 @@ class PipelineComponents:
         if "dump" in proc_cfg:
             d = proc_cfg.section("dump").to_dict()
             dump = DumpProcessor(**filter_kwargs(DumpProcessor.__init__, d))
+        elif os.environ.get("SFTPU_DUMP_CACHE"):
+            # Opt-in shared feature cache for pipelines whose config carries no
+            # dump section: caches the expensive deterministic handlers (the
+            # reference's own dump list — pitch, SSL, bio emb, LM/XPBert,
+            # codec; tts_data_24khz.yml:165-166) keyed handler|param-hash per
+            # sample file. Used by the test suite, which salts the directory
+            # with a hash of the feature-code sources so edits invalidate it.
+            names = os.environ.get(
+                "SFTPU_DUMP_HANDLERS",
+                "pitch,ssl_features,voice_biometrics,speech_quality,"
+                "codec_features,add_lm_feat,add_xpbert_feat")
+            # The cache key is handler|param-hash, which ignores UPSTREAM
+            # handler params (e.g. a different resample rate feeding pitch),
+            # so distinct pipelines must not share a directory: salt the path
+            # with the parser + preproc config that shapes the cached inputs.
+            pipe_salt = hashlib.sha256(repr((
+                cfg.section("parser").to_dict(),
+                cfg.section("preproc").to_dict(),
+            )).encode()).hexdigest()[:12]
+            dump = DumpProcessor(
+                dump_path=Path(os.environ["SFTPU_DUMP_CACHE"]) / pipe_salt,
+                handlers=[h for h in names.split(",") if h],
+                persist_blacklist=False,
+            )
         self.dump_processor = dump
         self.data_processor: tp.Optional[DataProcessor] = None
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import pickle
 import typing as tp
 from pathlib import Path
@@ -46,6 +47,7 @@ class DumpProcessor:
         handlers: tp.Sequence[str] = (),
         update_handlers: tp.Sequence[str] = (),
         full_dump: bool = False,
+        persist_blacklist: bool = True,
     ):
         self.dump_path = Path(dump_path)
         self.dump_path.mkdir(parents=True, exist_ok=True)
@@ -53,9 +55,10 @@ class DumpProcessor:
         self.handlers = set(handlers)
         self.update_handlers = set(update_handlers)
         self.full_dump = full_dump
+        self.persist_blacklist = persist_blacklist
         self._skip_file = self.dump_path / "skip_samples.txt"
         self.skip_samples: tp.Set[str] = set()
-        if self._skip_file.exists():
+        if self.persist_blacklist and self._skip_file.exists():
             self.skip_samples = set(self._skip_file.read_text().splitlines())
 
     def _file_for(self, ds: DataSample) -> Path:
@@ -72,7 +75,12 @@ class DumpProcessor:
         return {}
 
     def save(self, ds: DataSample, payload: dict) -> None:
-        self._file_for(ds).write_bytes(pickle.dumps(payload, protocol=5))
+        # atomic replace: concurrent workers may write the same sample's cache;
+        # a reader must never observe a partially written pickle
+        target = self._file_for(ds)
+        tmp = target.with_suffix(f".{os.getpid()}.tmp")
+        tmp.write_bytes(pickle.dumps(payload, protocol=5))
+        os.replace(tmp, target)
 
     def is_cached(self, ds: DataSample, fn: tp.Callable, params: tp.Optional[dict],
                   cache: dict) -> bool:
@@ -93,24 +101,26 @@ class DumpProcessor:
                 ds.additional[k] = v
 
     def store_outputs(self, ds: DataSample, fn: tp.Callable, params: tp.Optional[dict],
-                      cache: dict) -> None:
+                      cache: dict) -> bool:
         meta = PipeRegistry.meta(fn)
         name = meta["name"]
         if not (self.full_dump or name in self.handlers):
-            return
+            return False
         outs = {}
         for field_name in meta["outputs"] | (self.fields & set(meta["outputs"])):
             val = ds.get(field_name)
             if val is not None:
                 outs[field_name] = val
         cache[_handler_key(fn, params)] = outs
+        return True
 
     def blacklist(self, ds: DataSample) -> None:
         key = str(ds.file_path or ds.uid)
         if key not in self.skip_samples:
             self.skip_samples.add(key)
-            with self._skip_file.open("a") as f:
-                f.write(key + "\n")
+            if self.persist_blacklist:
+                with self._skip_file.open("a") as f:
+                    f.write(key + "\n")
 
 
 class DataProcessor:
@@ -145,8 +155,7 @@ class DataProcessor:
                 if ds is None:
                     return None
                 if self.dump:
-                    self.dump.store_outputs(ds, fn, params, cache)
-                    dirty = True
+                    dirty |= self.dump.store_outputs(ds, fn, params, cache)
         except Exception as e:
             LOGGER.warning("sample %s failed in preproc: %r", ds.file_path, e)
             if self.dump:
