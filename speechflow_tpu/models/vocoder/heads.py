@@ -17,7 +17,6 @@ from __future__ import annotations
 import math
 import typing as tp
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -137,16 +136,9 @@ class _IMDCTHead(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         coeffs = self._coeffs(self.out(x))           # (B, T, N)
         frames = jnp.einsum("btn,fn->btf", coeffs, self.basis)  # (B, T, 2N)
-        b, t, fl = frames.shape
+        t = frames.shape[1]
         hop = self.frame_len
-        out_len = fl + hop * (t - 1)
-        idx = np.arange(t)[:, None] * hop + np.arange(fl)[None, :]
-        idx = jnp.asarray(idx.reshape(-1))
-
-        def ola(fr):
-            return jnp.zeros((out_len,), fr.dtype).at[idx].add(fr.reshape(-1))
-
-        wav = jax.vmap(ola)(frames)
+        wav = ops.overlap_add(frames, hop)  # dense strip OLA (2N/hop == 2)
         return wav[:, hop // 2 : hop // 2 + t * hop]
 
 

@@ -6,7 +6,7 @@ tts/forced_alignment/model/utils.py) with batched, fixed-shape, jit-compiled
 TPU kernels.
 """
 
-from speechflow_tpu.ops.stft import hann_window, frame_signal, stft, istft, magnitude
+from speechflow_tpu.ops.stft import hann_window, frame_signal, stft, istft, overlap_add, magnitude
 from speechflow_tpu.ops.mel import (
     mel_filterbank,
     linear_to_mel,
@@ -32,7 +32,7 @@ from speechflow_tpu.ops.length_regulator import length_regulate_hard, length_reg
 from speechflow_tpu.ops.mas import maximum_path
 
 __all__ = [
-    "hann_window", "frame_signal", "stft", "istft", "magnitude",
+    "hann_window", "frame_signal", "stft", "istft", "overlap_add", "magnitude",
     "mel_filterbank", "linear_to_mel", "mel_to_linear", "amp_to_db", "db_to_amp",
     "normalize_mel", "denormalize_mel", "MIN_LEVEL_DB",
     "preemphasis", "deemphasis", "energy", "spectral_flatness",

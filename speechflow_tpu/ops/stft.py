@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["hann_window", "frame_signal", "stft", "istft", "magnitude"]
+__all__ = ["hann_window", "frame_signal", "stft", "istft", "overlap_add", "magnitude"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -87,6 +87,41 @@ def magnitude(
     return jnp.abs(stft(x, n_fft, hop_length, win_length, center=center))
 
 
+def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
+    """(..., n_frames, F) -> (..., hop*(n_frames-1)+F) overlap-add.
+
+    When hop divides the frame length (every STFT/MDCT config in this repo),
+    OLA is R=F/hop shifted DENSE adds: split each frame into R hop-sized
+    strips; the k-th strip plane, zero-padded k strips in front, sums
+    elementwise with the others. Measured motivation: the previous
+    scatter-add formulation ran at 0.41 TF/s / 45 GB/s on v5e (neither
+    compute- nor bandwidth-bound — scatter serializes on the VPU) and made
+    the ISTFT head cost 153 ms vs 47 ms for the whole ConvNeXt backbone at
+    B32 T1024. Scatter-add remains as the generic fallback.
+    """
+    n_frames, f = frames.shape[-2], frames.shape[-1]
+    out_len = f + hop_length * (n_frames - 1)
+    if f % hop_length == 0:
+        r = f // hop_length
+        strips = frames.reshape(frames.shape[:-1] + (r, hop_length))
+        acc = None
+        for k in range(r):
+            pad = [(0, 0)] * (frames.ndim - 2) + [(k, r - 1 - k), (0, 0)]
+            part = jnp.pad(strips[..., k, :], pad)
+            acc = part if acc is None else acc + part
+        return acc.reshape(frames.shape[:-2] + (out_len,))
+
+    batch_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, n_frames, f))
+    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(f)[None, :]
+    idx = jnp.asarray(idx.reshape(-1))
+
+    def ola(fr):
+        return jnp.zeros((out_len,), fr.dtype).at[idx].add(fr.reshape(-1))
+
+    return jax.vmap(ola)(flat).reshape(batch_shape + (out_len,))
+
+
 def istft(
     spec: jnp.ndarray,
     n_fft: int = 1024,
@@ -113,25 +148,13 @@ def istft(
     n_frames = frames.shape[-2]
     out_len = n_fft + hop_length * (n_frames - 1)
 
-    # overlap-add via scatter-add on static indices
-    batch_shape = frames.shape[:-2]
-    flat = frames.reshape((-1, n_frames, n_fft))
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    idx = jnp.asarray(idx.reshape(-1))
-
-    def ola(fr):
-        return jnp.zeros((out_len,), fr.dtype).at[idx].add(fr.reshape(-1))
-
-    sig = jax.vmap(ola)(flat)
-
+    sig = overlap_add(frames, hop_length)
     wsq = window * window
-    wsum = jnp.zeros((out_len,), frames.dtype).at[idx].add(
-        jnp.broadcast_to(wsq, (n_frames, n_fft)).reshape(-1)
-    )
+    wsum = overlap_add(jnp.broadcast_to(wsq, (n_frames, n_fft)), hop_length)
     sig = sig / jnp.maximum(wsum, 1e-11)
 
     pad = n_fft // 2
-    sig = sig[:, pad : out_len - pad]
+    sig = sig[..., pad : out_len - pad]
     if length is not None:
-        sig = sig[:, :length]
-    return sig.reshape(batch_shape + sig.shape[-1:])
+        sig = sig[..., :length]
+    return sig
