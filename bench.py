@@ -304,18 +304,27 @@ def build_gan_step():
     return gan, batch
 
 
+def _sync(out) -> None:
+    """Completion barrier that transfers only 4 elements: slicing on device
+    BEFORE np.asarray matters through the relay — fetching a full stage
+    output (tens of MB) inside the timed region would bill host transfer
+    time to the kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = out[0] if isinstance(out, tuple) else out
+    leaf = jax.tree_util.tree_leaves(probe)[0]
+    np.asarray(jnp.ravel(leaf)[:4])
+
+
 def _time_stage(fn, args, iters: int = 5) -> float:
     """Seconds per call in steady state (dispatch iters, fetch last)."""
-    import jax
-
     out = fn(*args)  # warm/compile
-    probe = out[0] if isinstance(out, tuple) else out
-    np.asarray(jax.tree_util.tree_leaves(probe)[0]).reshape(-1)[:4]  # barrier
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    probe = out[0] if isinstance(out, tuple) else out
-    np.asarray(jax.tree_util.tree_leaves(probe)[0]).reshape(-1)[:4]
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -416,6 +425,21 @@ def main():
             GAN_BATCH * GAN_CHUNK / SR / sec, 1)
     except Exception as e:  # noqa: BLE001
         stage_report["gan_error"] = str(e)[:120]
+
+    # serving latency: one utterance (B=1), text -> waveform, steady state.
+    # Throughput batches hide per-call overhead; a serving deployment cares
+    # about the single-stream number too (docs/serving.md).
+    try:
+        a_state, v_state, inputs = args
+        one = jax.tree_util.tree_map(
+            lambda x: x[:1] if hasattr(x, "ndim") and x.ndim >= 1
+            and x.shape[0] == BATCH else x, inputs)
+        sec = _time_stage(jitted, (a_state, v_state, one), iters=10)
+        stage_report["e2e_latency_b1_ms"] = round(sec * 1e3, 1)
+        stage_report["e2e_latency_b1_xrt"] = round(
+            (T_FRAMES - 1) * HOP / SR / sec, 1)
+    except Exception as e:  # noqa: BLE001
+        stage_report["latency_error"] = str(e)[:120]
 
     # e2e MFU (XLA flop estimate / measured time vs v5e bf16 peak)
     mfu = _stage_mfu(jitted, args, elapsed / ITERS, flop_corrections.get("e2e", 0.0))
