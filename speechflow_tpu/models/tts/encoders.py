@@ -165,19 +165,22 @@ class VQEncoder(nnx.Module):
         if n_speakers:
             self.clf = nnx.Linear(dim_out, n_speakers, rngs=rngs)
         self.dim_out = dim_out
-        self._aux: tp.Dict[str, jnp.ndarray] = {}
+        # nnx.data: the dict carries traced arrays between __call__ and
+        # pop_aux within one step; a plain attribute would be static
+        self._aux: tp.Dict[str, jnp.ndarray] = nnx.data({})
 
     def __call__(self, x, lengths=None, cond=None, deterministic=True):
         h = self.enc(x, lengths, deterministic=deterministic)
         q, idx, vq_loss = self.vq(h)
-        self._aux = {"vq_loss": vq_loss, "vq_codes": idx}
+        aux = {"vq_loss": vq_loss, "vq_codes": idx}
         if self.clf is not None:
             pooled = jnp.mean(grad_reverse(q), axis=1)
-            self._aux["inverse_speaker_logits"] = self.clf(pooled)
+            aux["inverse_speaker_logits"] = self.clf(pooled)
+        self._aux = nnx.data(aux)
         return q
 
     def pop_aux(self) -> tp.Dict[str, jnp.ndarray]:
-        aux, self._aux = self._aux, {}
+        aux, self._aux = dict(self._aux), nnx.data({})
         return aux
 
 

@@ -343,6 +343,12 @@ class ParallelTTSModel(nnx.Module):
         elif p.encoder_type == "ling_condition":
             enc_kwargs = {"ling_feat": inputs.ling_feat, "lm_feat": inputs.lm_feat}
         x = self.encoder(x, tok_lens, cond, deterministic=det, **enc_kwargs)
+        if hasattr(self.encoder, "pop_aux"):
+            # VQEncoder-style encoders stash auxiliary outputs (commitment
+            # loss, codes, adversarial logits); losses must reach the
+            # criterion or the bottleneck silently trains without them
+            for k, v in self.encoder.pop_aux().items():
+                (losses if k.endswith("_loss") else extra)[f"encoder_{k}"] = v
         if isinstance(x, list):
             # multi-stream content (ContextEncoder concat=False): per-stream
             # ConditionalLayers built in __init__ against stream_dims

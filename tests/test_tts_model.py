@@ -297,6 +297,23 @@ def test_new_encoders_in_model(rng, enc):
     assert np.isfinite(np.asarray(out.spectrogram)).all()
 
 
+@pytest.mark.parametrize("enc", ["dummy", "cnn", "rnn", "dit", "vq",
+                                 "variance_encoder"])
+@pytest.mark.slow
+def test_registry_encoders_in_model(rng, enc):
+    """Every remaining TTS_ENCODERS entry runs inside ParallelTTSModel
+    (reachability: no registry entry exists only as a standalone unit)."""
+    params = _params(encoder_type=enc, encoder_layers=1)
+    model = ParallelTTSModel(params, rngs=nnx.Rngs(0))
+    out = model(_inputs(rng), training=True)
+    assert out.spectrogram.shape == (2, B, T, MELS)
+    assert np.isfinite(np.asarray(out.spectrogram)).all()
+    if enc == "vq":
+        # the VQ bottleneck's commitment loss must reach the criterion
+        assert "encoder_vq_loss" in out.additional_losses
+        assert np.isfinite(float(out.additional_losses["encoder_vq_loss"]))
+
+
 @pytest.mark.slow
 def test_gmvae_style_encoder(rng):
     """GMVAE style bottleneck (reference: style_encoder.py:141): losses
