@@ -49,6 +49,7 @@ class CollatedSpectrogram(CollatedAudio):
     magnitude: tp.Optional[np.ndarray] = None
     energy: tp.Optional[np.ndarray] = None
     pitch: tp.Optional[np.ndarray] = None
+    averages: tp.Optional[tp.Dict[str, np.ndarray]] = None  # name -> (B,)
 
 
 @dataclass
@@ -134,6 +135,12 @@ class SpectrogramCollate:
         embs = [getattr(s, "speaker_emb", None) for s in samples]
         if all(e is not None for e in embs):
             out.speaker_emb = np.stack(embs).astype(np.float32)
+        avgs = [getattr(s, "averages", None) for s in samples]
+        if all(a is not None for a in avgs):
+            keys = sorted(set().union(*[a.keys() for a in avgs]))
+            out.averages = {
+                k: np.asarray([a.get(k, 0.0) for a in avgs], np.float32) for k in keys
+            }
         return out
 
 

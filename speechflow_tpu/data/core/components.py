@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import inspect
 import logging
 import os
 import typing as tp
@@ -166,10 +167,14 @@ class PipelineComponents:
             params = pipe_cfg.section(name).to_dict() if name in pipe_cfg else {}
             if name == "text_to_transcription":
                 params = dict(params, processor=self.text_processor)
+            if "ranges" in inspect.signature(fn).parameters                     and "StatisticsRange" in self.singletons:
+                # per-speaker normalization reads the fitted StatisticsRange
+                params = dict(params, ranges=self.singletons["StatisticsRange"])
             bound = functools.partial(fn, **filter_kwargs(fn, params, warn=True)) if params else fn
             bound.__pipe_meta__ = meta  # preserve registry metadata through partial
             self.preproc_fns.append(bound)
-            self.handler_params[name] = {k: v for k, v in params.items() if k != "processor"}
+            self.handler_params[name] = {k: v for k, v in params.items()
+                                         if k not in ("processor", "ranges")}
         self.data_processor = DataProcessor(
             preproc_fns=self.preproc_fns,
             collate_fn=self.collate_fn,

@@ -105,6 +105,8 @@ class SpectrogramDataSample(AudioDataSample):
     pitch: tp.Optional[np.ndarray] = None      # (T,)
     spectral_flatness: tp.Optional[np.ndarray] = None
     hop_len: tp.Optional[int] = None
+    averages: tp.Optional[tp.Dict[str, np.ndarray]] = None  # per-utterance scalars (average_by_time)
+    ranges: tp.Optional[tp.Dict[str, np.ndarray]] = None    # per-attr (lo, hi, span) from normalize
 
     @property
     def n_frames(self) -> int:

@@ -29,7 +29,7 @@ def handler(inputs: tp.Optional[set] = None, outputs: tp.Optional[set] = None,
 def get_handler(name: str) -> tp.Callable:
     # import handler modules lazily so registration happens on first lookup
     from speechflow_tpu.data.processors import (  # noqa: F401
-        audio, spectral, text, tts, augment, embeddings, ling,
+        audio, spectral, text, tts, augment, embeddings, ling, signal1d,
     )
 
     if name not in HANDLERS:

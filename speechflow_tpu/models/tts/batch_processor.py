@@ -53,6 +53,7 @@ class TTSBatchProcessor:
             ranges=ranges,
             speech_quality_emb=get("speech_quality_emb"),
             ssl_feat=get("ssl_feat"),
+            averages=get("averages"),
         )
         extra = get("additional") or {}
         inputs = dataclasses.replace(

@@ -22,7 +22,8 @@ from speechflow_tpu.utils.masks import sequence_mask
 __all__ = [
     "ConvBlock", "ConvStack", "PreNet", "TransformerBlock", "DiTBlock",
     "AdaLayerNorm", "FiLM", "ConditionalLayer", "VarianceEmbedding",
-    "VectorQuantizer", "grad_reverse", "sinusoidal_embedding", "rope_rotate",
+    "VectorQuantizer", "MixStyle", "grad_reverse", "sinusoidal_embedding",
+    "rope_rotate",
 ]
 
 
@@ -260,6 +261,38 @@ class VarianceEmbedding(nnx.Module):
         idx = jnp.clip(((x - lo) / (hi - lo) * self.n_bins).astype(jnp.int32),
                        0, self.n_bins - 1)
         return self.emb(idx)
+
+
+class MixStyle(nnx.Module):
+    """Feature-statistics mixing for domain generalization (Zhou et al.,
+    ICLR 2021; reference: modules/common/mixstyle.py). Normalizes each
+    sequence by its own time-axis mean/std, then denormalizes with a
+    Beta-mixed convex combination of its stats and a shuffled batch
+    partner's — jit-friendly: the per-call apply/skip gate is a traced
+    bernoulli `where`, not Python control flow."""
+
+    def __init__(self, p: float = 0.5, alpha: float = 0.1, eps: float = 1e-6,
+                 rngs: nnx.Rngs = None):
+        self.p = p
+        self.alpha = alpha
+        self.eps = eps
+        self.rngs = rngs or nnx.Rngs(0)
+
+    def __call__(self, x: jnp.ndarray, training: bool = True) -> jnp.ndarray:
+        if not training:
+            return x
+        k_beta, k_perm, k_gate = jax.random.split(self.rngs.params(), 3)
+        b = x.shape[0]
+        mu = jax.lax.stop_gradient(jnp.mean(x, axis=1, keepdims=True))
+        sig = jax.lax.stop_gradient(
+            jnp.sqrt(jnp.var(x, axis=1, keepdims=True) + self.eps))
+        x_normed = (x - mu) / sig
+        lmda = jax.random.beta(k_beta, self.alpha, self.alpha, (b, 1, 1))
+        perm = jax.random.permutation(k_perm, b)
+        mu_mix = mu * lmda + mu[perm] * (1.0 - lmda)
+        sig_mix = sig * lmda + sig[perm] * (1.0 - lmda)
+        return jnp.where(jax.random.bernoulli(k_gate, self.p),
+                         x_normed * sig_mix + mu_mix, x)
 
 
 class VectorQuantizer(nnx.Module):

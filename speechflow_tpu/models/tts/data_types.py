@@ -59,6 +59,7 @@ class TTSForwardInput:
     pitch_modifier: tp.Optional[jnp.ndarray] = None          # (B, N) SSML factors
     volume_modifier: tp.Optional[jnp.ndarray] = None
     rate_modifier: tp.Optional[jnp.ndarray] = None
+    averages: tp.Optional[tp.Dict[str, jnp.ndarray]] = None  # name -> (B,) utterance scalars
     pad_id: int = 0
 
     def get(self, name, default=None):

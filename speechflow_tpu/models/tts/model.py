@@ -60,6 +60,12 @@ class ParallelTTSParams(BaseModelParams):
     use_prosody: bool = False
     n_prosody_classes: int = 16          # prosody contour classes (+1 for undefined)
 
+    # per-utterance average conditioning (reference: embedding_calculator.py:123
+    # use_average_emb — each named average scalar from `average_by_time` is
+    # bucketized by a VarianceEmbedding and joins the global condition)
+    use_average_emb: bool = False
+    averages: dict = {}                  # name -> {interval, n_bins, emb_dim, log_scale}
+
     # style (reference-mel VAE / GMVAE)
     use_style_encoder: bool = False
     style_emb_dim: int = 128
@@ -146,6 +152,17 @@ class ParallelTTSModel(nnx.Module):
                 use_gmvae=p.style_use_gmvae,
                 gmvae_n_components=p.style_gmvae_components, rngs=rngs)
             cond_dim += p.style_emb_dim
+        if p.use_average_emb:
+            from speechflow_tpu.models.tts.common import VarianceEmbedding
+
+            self.average_embs = nnx.Dict({
+                name: VarianceEmbedding(
+                    interval=tuple(cfg.get("interval", (0.0, 1.0))),
+                    n_bins=int(cfg.get("n_bins", 64)),
+                    emb_dim=int(cfg.get("emb_dim", 32)),
+                    log_scale=bool(cfg.get("log_scale", False)), rngs=rngs)
+                for name, cfg in p.averages.items()})
+            cond_dim += sum(int(cfg.get("emb_dim", 32)) for cfg in p.averages.values())
         if p.condition_sources:
             cond_dim = sum(self._source_dim(name) for name in p.condition_sources)
         self.cond_dim = cond_dim
@@ -222,12 +239,23 @@ class ParallelTTSModel(nnx.Module):
         known = {"speaker": p.speaker_emb_dim, "lang": p.lang_emb_dim,
                  "style": p.style_emb_dim, "speaker_emb": p.speaker_bio_dim,
                  "speech_quality_emb": 5}
+        if base.startswith("average_") and base[len("average_"):] in p.averages:
+            return int(p.averages[base[len("average_"):]].get("emb_dim", 32))
         if base in p.condition_source_dims:
             return int(p.condition_source_dims[base])
         if base in known:
             return known[base]
         raise ValueError(
             f"condition source '{base}' needs an entry in condition_source_dims")
+
+    def _average_value(self, name: str, inputs: TTSForwardInput) -> jnp.ndarray:
+        """The (B,) scalar for one named average; absent at raw-text
+        inference -> neutral interval midpoint."""
+        if inputs.averages is not None and name in inputs.averages:
+            return inputs.averages[name]
+        lo, hi = self.p.averages[name].get("interval", (0.0, 1.0))
+        b = inputs.transcription.shape[0]
+        return jnp.full((b,), (lo + hi) / 2.0, dtype=jnp.float32)
 
     def _lookup_condition(self, name: str, inputs: TTSForwardInput,
                           training: bool, losses: dict) -> jnp.ndarray:
@@ -253,6 +281,9 @@ class ParallelTTSModel(nnx.Module):
                 mu, logvar = vae
                 losses["vae_kl"] = jnp.mean(
                     -0.5 * (1 + logvar - mu**2 - jnp.exp(logvar)))
+        elif base.startswith("average_") and base[len("average_"):] in p.averages:
+            avg_name = base[len("average_"):]
+            v = self.average_embs[avg_name](self._average_value(avg_name, inputs))
         else:
             v = inputs.get(base)
             if v is None:
@@ -301,6 +332,9 @@ class ParallelTTSModel(nnx.Module):
                 mu, logvar = vae
                 losses["vae_kl"] = jnp.mean(
                     -0.5 * (1 + logvar - mu**2 - jnp.exp(logvar)))
+        if p.use_average_emb:
+            for name in p.averages:
+                parts.append(self.average_embs[name](self._average_value(name, inputs)))
         return jnp.concatenate(parts, axis=-1)
 
     def _cond(self, level: int, x, cond):
