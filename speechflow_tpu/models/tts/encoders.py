@@ -29,6 +29,7 @@ from speechflow_tpu.models.tts.common import (
     VectorQuantizer,
     grad_reverse,
 )
+from speechflow_tpu.ops.signal import depthwise_conv1d
 from speechflow_tpu.utils.masks import apply_mask, sequence_mask
 
 __all__ = ["TTS_ENCODERS", "CNNEncoder", "RNNEncoder", "TransformerEncoder",
@@ -313,7 +314,10 @@ class ConformerBlock(nnx.Module):
         if mask is not None:
             h = apply_mask(h, mask)
         h = nnx.glu(self.pw1(h), axis=-1)
-        h = nnx.silu(self.dw_norm(self.dw(h)))
+        # shifted-add depthwise conv (grouped convs lower poorly on TPU;
+        # see ops/anti_alias.py + ops.signal.depthwise_conv1d)
+        h = depthwise_conv1d(h, self.dw.kernel[...], self.dw.bias[...])
+        h = nnx.silu(self.dw_norm(h))
         h = self.dropout(self.pw2(h), deterministic=deterministic)
         x = x + h
         x = x + 0.5 * self._ff(x, self.ff2_norm, self.ff2a, self.ff2b, deterministic)

@@ -30,8 +30,13 @@ class ConvNeXtBlock(nnx.Module):
         self.gamma = nnx.Param(layer_scale * jnp.ones((dim,)))
 
     def __call__(self, x: jnp.ndarray, cond: tp.Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from speechflow_tpu.ops.signal import depthwise_conv1d
+
         res = x
-        x = self.dwconv(x)
+        # shifted-add depthwise conv: feature_group_count=C grouped convs
+        # lower pathologically on TPU (see ops/anti_alias.py); same params,
+        # same numerics, K fused VPU FMAs instead
+        x = depthwise_conv1d(x, self.dwconv.kernel[...], self.dwconv.bias[...])
         x = self.norm(x)
         x = self.pw2(nnx.gelu(self.pw1(x)))
         return res + self.gamma[...] * x

@@ -23,7 +23,8 @@ from flax import nnx
 
 from speechflow_tpu import ops
 
-__all__ = ["ISTFTHead", "SnakeUpsampleHead", "IMDCTSymExpHead", "IMDCTCosHead"]
+__all__ = ["ISTFTHead", "SnakeUpsampleHead", "IMDCTSymExpHead", "IMDCTCosHead",
+           "DACHead"]
 
 
 class ISTFTHead(nnx.Module):
@@ -111,6 +112,58 @@ class SnakeUpsampleHead(nnx.Module):
         x = self.post_act(x)
         x = self.post(x)
         return jnp.tanh(x)[..., 0]
+
+
+def _factor_strides(hop: int, max_stride: int = 8) -> tp.Tuple[int, ...]:
+    """Factor ``hop`` into transposed-conv strides of at most ``max_stride``
+    (largest first), so the codec decoder's total upsampling equals the
+    vocoder hop exactly."""
+    strides = []
+    rem = hop
+    while rem > 1:
+        for s in range(min(max_stride, rem), 1, -1):
+            if rem % s == 0:
+                strides.append(s)
+                rem //= s
+                break
+        else:
+            raise ValueError(f"cannot factor hop {hop} into strides <= {max_stride}")
+    return tuple(strides)
+
+
+class DACHead(nnx.Module):
+    """Codec-decoder head (reference: heads/dac.py DACHead): project backbone
+    hidden states into the codec latent space and decode with the NeuralCodec
+    transposed-conv decoder.
+
+    The reference wraps a *pretrained* DescriptAC decoder (dac.py:20-31,
+    ``proj -> 10*z_hat -> dac.decoder``); with no downloadable codecs in this
+    zero-egress build, the framework's trainable DAC-class codec decoder
+    (models/codec/rvq.py) takes its place — trained jointly under the GAN
+    losses, or warm-started from a codec experiment via the usual ``-w``
+    prefix-filtered weight load. The codec strides are derived from the
+    vocoder hop so T feature frames decode to exactly T*hop samples.
+    """
+
+    def __init__(self, dim: int, hop_length: int = 256,
+                 codec_params: tp.Optional[dict] = None, rngs: nnx.Rngs = None):
+        from speechflow_tpu.models.codec import CodecParams, NeuralCodec
+
+        rngs = rngs or nnx.Rngs(0)
+        cp = dict(codec_params or {})
+        cp.setdefault("strides", _factor_strides(hop_length))
+        self.codec = NeuralCodec(CodecParams.create(cp), rngs=rngs)
+        if self.codec.hop != hop_length:
+            raise ValueError(
+                f"codec strides {cp['strides']} upsample x{self.codec.hop}, "
+                f"but the vocoder hop is {hop_length}")
+        self.proj = nnx.Linear(dim, self.codec.p.latent_dim, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, dim) -> (B, T * hop) waveform."""
+        # no 10x latent rescale: the reference's factor matches its frozen
+        # pretrained decoder's input scale; a jointly-trained decoder learns it
+        return self.codec.decode_latent(self.proj(x))
 
 
 def _mdct_basis(frame_len: int) -> np.ndarray:

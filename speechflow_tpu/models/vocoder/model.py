@@ -2,10 +2,10 @@
 
 Capability parity with the reference Vocos assembly
 (tts/vocoders/vocos/pretrained.py:47, lightning_engine.py:246-260 forward):
-the three stages are selected by params (extractor: mel|audio, backbone:
-vocos|dummy, head: istft|snake_upsample|imdct_symexp|imdct_cos|nsf_hifigan|
-nsf_istft) and the whole generator is one jit program including on-device mel
-extraction.  The NSF heads (reference StyleTTS2 path,
+the three stages are selected by params (extractor: mel|audio|codec|tts,
+backbone: vocos|dummy, head: istft|snake_upsample|imdct_symexp|imdct_cos|
+nsf_hifigan|nsf_istft|dac) and the whole generator is one jit program
+including on-device mel extraction.  The NSF heads (reference StyleTTS2 path,
 tts/vocoders/vocos/modules/heads/nsf_hifigan.py:37) additionally consume a
 frame-level F0 — from the batch's ``pitch`` field (copy synthesis) or the
 acoustic model's pitch prediction (E2E ``tts`` extractor) — plus an optional
@@ -26,6 +26,7 @@ from speechflow_tpu.models.vocoder.feature_extractors import (
     MelFeatures,
 )
 from speechflow_tpu.models.vocoder.heads import (
+    DACHead,
     IMDCTCosHead,
     IMDCTSymExpHead,
     ISTFTHead,
@@ -47,9 +48,10 @@ class VocosParams(BaseModelParams):
     tts_params: dict = {}                  # for "tts": ParallelTTSParams fields
     codec_params: dict = {}                # for "codec": CodecParams fields
     codec_freeze: bool = False             # freeze the codec front-end
+    dac_codec_params: dict = {}            # for head "dac": CodecParams fields
     backbone: str = "vocos"                # vocos | dummy
     head: str = "istft"                    # istft | snake_upsample | imdct_symexp
-    #                                      # | imdct_cos | nsf_hifigan | nsf_istft
+    #                                      # | imdct_cos | nsf_hifigan | nsf_istft | dac
 
     dim: int = 512
     n_layers: int = 8
@@ -108,6 +110,10 @@ class Vocos(nnx.Module):
             self.head = IMDCTSymExpHead(bdim, p.mdct_frame_len, rngs=rngs)
         elif p.head == "imdct_cos":
             self.head = IMDCTCosHead(bdim, p.mdct_frame_len, rngs=rngs)
+        elif p.head == "dac":
+            # reference heads/dac.py: backbone hidden -> codec latent ->
+            # codec decoder; here the trainable NeuralCodec decoder
+            self.head = DACHead(bdim, p.hop_length, p.dac_codec_params, rngs=rngs)
         elif p.head == "nsf_hifigan":
             from speechflow_tpu.models.vocoder.nsf import NSFHiFiGANHead
 

@@ -328,3 +328,25 @@ def test_pitch_cross_method_parity_real_audio():
         # octave errors differ between methods; median is the robust statistic
         agree.append(float(np.median(rel)))
     assert agree and np.median(agree) < 0.05, agree
+
+
+# ------------------------------------------------------- depthwise conv
+
+
+@pytest.mark.parametrize("k", [3, 6, 7])
+def test_depthwise_conv1d_matches_grouped_conv(rng, k):
+    """The shifted-add depthwise conv (what ConvNeXt/Conformer blocks run on
+    TPU) must be numerically identical to the grouped-conv formulation whose
+    parameters it consumes."""
+    from flax import nnx
+
+    from speechflow_tpu.ops.signal import depthwise_conv1d
+
+    b, t, c = 2, 50, 16
+    x = jnp.asarray(rng.normal(size=(b, t, c)).astype(np.float32))
+    conv = nnx.Conv(c, c, (k,), feature_group_count=c, padding="SAME",
+                    rngs=nnx.Rngs(3))
+    ref = conv(x)
+    got = depthwise_conv1d(x, conv.kernel[...], conv.bias[...])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -33,11 +33,14 @@ def _wav_batch(rng, b=2):
 
 @pytest.mark.parametrize("head,exact", [
     ("istft", True), ("snake_upsample", True), ("imdct_symexp", False), ("imdct_cos", False),
+    ("dac", True),
 ])
 def test_vocos_heads_shapes(rng, head, exact):
     p = VocosParams(head=head, dim=64, n_layers=2, n_mels=40,
                     upsample_rates=(8, 8, 2, 2), upsample_channels=32,
-                    mdct_frame_len=256)
+                    mdct_frame_len=256,
+                    dac_codec_params={"channels": 8, "latent_dim": 16,
+                                      "n_quantizers": 2, "codebook_size": 32})
     model = Vocos(p, rngs=nnx.Rngs(0))
     wav = jnp.asarray(_wav_batch(rng))
     out = model({"waveform": wav})
