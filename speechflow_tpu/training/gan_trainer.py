@@ -119,16 +119,19 @@ class GANTrainer:
 
         g_total, g_losses, gen_out = self._gen_step(
             self.generator, self.discriminator, self.gen_opt, inputs, targets, step)
-        metrics = {f"gen/{k}": float(v) for k, v in g_losses.items()}
-        metrics["gen/total"] = float(g_total)
+        # device scalars, fetched lazily (see Trainer.training_step): the GAN
+        # step is the most expensive program in the framework and a per-step
+        # host sync would stall the dispatch pipeline
+        metrics = {f"gen/{k}": v for k, v in g_losses.items()}
+        metrics["gen/total"] = g_total
 
         if (self.global_step >= self.disc_start_iter
                 and self.global_step % self.disc_every == 0):
             d_total, d_losses = self._disc_step(
                 gen_out, self.generator, self.discriminator, self.disc_opt,
                 inputs, targets, step)
-            metrics.update({f"disc/{k}": float(v) for k, v in d_losses.items()})
-            metrics["disc/total"] = float(d_total)
+            metrics.update({f"disc/{k}": v for k, v in d_losses.items()})
+            metrics["disc/total"] = d_total
 
         self.global_step += 1
         return metrics
@@ -200,11 +203,11 @@ class GANTrainer:
             s = self.global_step
             if s % self.cfg.log_every == 0:
                 LOGGER.info("gan step %d: %s (%.2f it/s)", s,
-                            {k: round(v, 4) for k, v in last.items()},
+                            {k: round(float(v), 4) for k, v in last.items()},
                             s / max(time.time() - t0, 1e-9))
                 if self._tb:
                     for k, v in last.items():
-                        self._tb.add_scalar(k, v, s)
+                        self._tb.add_scalar(k, float(v), s)
             if val_loader is not None and s % self.cfg.val_every == 0:
                 vm = self.validate(val_loader)
                 LOGGER.info("gan val @ %d: %s", s,

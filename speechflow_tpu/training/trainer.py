@@ -156,8 +156,12 @@ class Trainer:
         step = jnp.asarray(self.global_step, jnp.int32)
         total, losses = self._train_step(self.model, self.optimizer, inputs, targets, step)
         self.global_step += 1
-        out = {k: float(v) for k, v in losses.items()}
-        out["total_loss"] = float(total)
+        # losses stay 0-d device scalars: fetching them here would block the
+        # host on every step's device completion, serializing host batch prep
+        # with TPU compute.  Consumers (fit's log lines, tests) force the
+        # transfer with float() only when they actually read a value.
+        out = dict(losses)
+        out["total_loss"] = total
         return out
 
     def validation_step(self, batch) -> tp.Dict[str, float]:
@@ -184,7 +188,7 @@ class Trainer:
             if s % self.cfg.log_every == 0:
                 rate = s / max(time.time() - t0, 1e-9)
                 LOGGER.info("step %d: %s (%.2f it/s)", s,
-                            {k: round(v, 4) for k, v in last.items()}, rate)
+                            {k: round(float(v), 4) for k, v in last.items()}, rate)
                 self._log_tb("train", last, s)
             if val_loader is not None and s % self.cfg.val_every == 0:
                 vm = self.validate(val_loader)
@@ -224,7 +228,7 @@ class Trainer:
         if self._tb is None or jax.process_index() != 0:
             return
         for k, v in metrics.items():
-            self._tb.add_scalar(f"{prefix}/{k}", v, step)
+            self._tb.add_scalar(f"{prefix}/{k}", float(v), step)
 
     # -- persistence ----------------------------------------------------------------
 
