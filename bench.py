@@ -39,6 +39,9 @@ PEAK_FLOPS = 197e12       # v5e bf16 peak
 GAN_BATCH = 32
 GAN_CHUNK = 24576         # 1.024 s @ 24 kHz, 96 mel frames
 
+XTTS_BATCH = 8            # AR sampling stage (KV-cached GPT over codec tokens)
+XTTS_TOKENS = 512         # 512 codec frames = ~5.5 s audio at codec hop 256
+
 REPO = Path(__file__).resolve().parent
 
 
@@ -260,6 +263,84 @@ def build_flagship_stages():
     return stages, corrections
 
 
+def build_dsp_stages():
+    """Feature-extraction + forced-aligner stages — BASELINE.json measurement
+    configs (1)/(2): the fused on-device feature pipeline (wav -> STFT -> mel
+    -> YIN F0 + energy, one jit program) reported as mel-frames/s/chip, and
+    GlowTTS + device-MAS alignment (reference: annotator step 2, the numpy-DP
+    CPU hot loop `model/utils.py:53`) reported as x realtime."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from speechflow_tpu import ops
+    from speechflow_tpu.models.aligner import GlowTTSAligner, GlowTTSParams
+    from speechflow_tpu.models.tts.data_types import TTSForwardInput
+
+    rng = np.random.default_rng(0)
+    t_wav = (T_FRAMES - 1) * HOP
+    wav = jnp.asarray(rng.normal(size=(BATCH, t_wav)).astype(np.float32) * 0.3)
+
+    def features(wav):
+        mag = ops.magnitude(wav, 1024, HOP, 1024)
+        mel = ops.amp_to_db(ops.linear_to_mel(mag, SR, 100))
+        f0 = ops.yin_f0(wav, SR, hop_length=HOP)
+        return mel, f0, ops.energy(mag)
+
+    # aligner at reference dims (forced_alignment model_stage1.yml class):
+    # align() = full flow forward + MAS wavefront DP, the annotator's hot loop
+    aligner = GlowTTSAligner(GlowTTSParams.create(
+        n_symbols=100, n_mels=100, encoder_dim=192, encoder_layers=4,
+        n_flows=6, flow_hidden=192), rngs=nnx.Rngs(0))
+    a_def, a_state = nnx.split(aligner)
+
+    def align(state, inputs):
+        return nnx.merge(a_def, state).align(inputs)[0]
+
+    inputs = TTSForwardInput(
+        transcription=jnp.asarray(rng.integers(1, 100, (BATCH, N_TOKENS)), jnp.int32),
+        transcription_lengths=jnp.full((BATCH,), N_TOKENS, jnp.int32),
+        speaker_id=jnp.zeros((BATCH,), jnp.int32),
+        lang_id=jnp.zeros((BATCH,), jnp.int32),
+        mel=jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)).astype(np.float32)),
+        mel_lengths=jnp.full((BATCH,), T_FRAMES, jnp.int32),
+    )
+    return {
+        "features": (jax.jit(features), (wav,)),
+        "aligner": (jax.jit(align), (a_state, inputs)),
+    }
+
+
+def build_xtts_stage():
+    """XTTS AR sampling at flagship dims (configs/xtts_model.yml class):
+    KV-cached GPT over codec tokens -> codec decode, one jit program.
+    Reported as x realtime of the generated audio plus GPT tokens/s."""
+    import jax
+    from flax import nnx
+
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.models.tts.xtts import XTTSModel, XTTSParams
+
+    m = Config.create_from_file(REPO / "configs" / "xtts_model.yml",
+                                value_select=["default"]).section("model").to_dict()
+    m.setdefault("n_symbols", 256)
+    model = XTTSModel(XTTSParams.create(m), rngs=nnx.Rngs(0))
+    x_def, x_state = nnx.split(model)
+    x_state = _bf16(x_state)
+    b, t_text, max_tok = XTTS_BATCH, 64, XTTS_TOKENS
+    hop_c = model.codec.hop
+
+    def sample(state, text_ids, sid):
+        mm = nnx.merge(x_def, state)
+        return mm.synthesize(text_ids, sid, max_tokens=max_tok)
+
+    rng = np.random.default_rng(0)
+    text = np.asarray(rng.integers(1, 250, (b, t_text)), np.int32)
+    sid = np.zeros((b,), np.int32)
+    audio_s = b * max_tok * hop_c / SR
+    return {"xtts_sample": (jax.jit(sample), (x_state, text, sid))}, audio_s
+
+
 def build_gan_step():
     """One bigvgan GAN micro-step (gen fwd+bwd, disc fwd+bwd, optimizer) at
     production dims — the program real vocoder training spends months in."""
@@ -410,7 +491,10 @@ def main():
     batch_audio_s = BATCH * (T_FRAMES - 1) * HOP / SR
     stage_report = {}
 
-    def _time_group(group, corrections):
+    def _time_group(group, corrections, audio_s=None):
+        """audio_s: per-stage audio-seconds override for the xrt computation
+        (stages whose output length differs from the standard T_FRAMES grid,
+        e.g. the AR XTTS sampler)."""
         for name, (sfn, sargs) in group.items():
             try:
                 sec = _time_stage(sfn, sargs)
@@ -418,7 +502,8 @@ def main():
                     stage_report["train_frames_per_s"] = round(BATCH * T_FRAMES / sec, 1)
                     stage_report["train_steps_per_s"] = round(1.0 / sec, 3)
                 else:
-                    stage_report[f"{name}_xrt"] = round(batch_audio_s / sec, 1)
+                    a_s = (audio_s or {}).get(name, batch_audio_s)
+                    stage_report[f"{name}_xrt"] = round(a_s / sec, 1)
                 mfu = _stage_mfu(sfn, sargs, sec, corrections.get(name, 0.0))
                 if mfu is not None:
                     stage_report[f"{name}_mfu_pct"] = mfu
@@ -431,6 +516,27 @@ def main():
     # steps/s) — each group is timed with only its own state on device
     _time_group(stages, flop_corrections)
     stages.clear()
+    try:
+        dsp_stages = build_dsp_stages()
+        _time_group(dsp_stages, {})
+        if "features_xrt" in stage_report:
+            # BASELINE "feature extraction" target unit: mel-frames/s/chip
+            # xrt = batch_audio_s / sec, so 1/sec = xrt / batch_audio_s
+            stage_report["feature_frames_per_s"] = round(
+                stage_report["features_xrt"] / batch_audio_s * BATCH * T_FRAMES, 1)
+        dsp_stages.clear()
+    except Exception as e:  # noqa: BLE001
+        stage_report["dsp_error"] = str(e)[:120]
+    try:
+        xtts_stage, xtts_audio_s = build_xtts_stage()
+        _time_group(xtts_stage, {}, audio_s={"xtts_sample": xtts_audio_s})
+        if "xtts_sample_xrt" in stage_report:
+            stage_report["xtts_tokens_per_s"] = round(
+                stage_report["xtts_sample_xrt"] / xtts_audio_s
+                * XTTS_BATCH * XTTS_TOKENS, 1)
+        xtts_stage.clear()
+    except Exception as e:  # noqa: BLE001
+        stage_report["xtts_error"] = str(e)[:120]
     try:
         flagship_stages, flagship_corrections = build_flagship_stages()
         _time_group(flagship_stages, flagship_corrections)

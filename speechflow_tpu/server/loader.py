@@ -123,13 +123,19 @@ class DataLoader:
                     LOGGER.warning("loader %s: server silent for %.0fs", self.uid[:6], self.dead_after_s)
                     self._last_recv = time.time()
                 continue
-            msg = pickle.loads(self._socket.recv())
+            frames = self._socket.recv_multipart()
+            msg = pickle.loads(frames[0])
             mtype = msg.get("type")
             self._last_recv = time.time()
             req = msg.get("req")
             if mtype == "batch":
                 self._outstanding.discard(req)
-                batch: Batch = Serialize.load(msg["batch_blob"])
+                # zero-copy protocol: batch payload as out-of-band frames
+                # (legacy single-frame batch_blob accepted as fallback)
+                if len(frames) > 1:
+                    batch: Batch = Serialize.load_frames(frames[1:])
+                else:
+                    batch = Serialize.load(msg["batch_blob"])
                 self._enqueue_ordered(req, batch)
             elif mtype == "batch_failed":
                 self._outstanding.discard(req)

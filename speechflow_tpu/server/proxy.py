@@ -88,7 +88,9 @@ class Proxy(ProcessWorker):
                 self.backends[next(self._rr)].send(pickle.dumps(msg))
         for s in self.backends:
             if s in events:
-                msg = pickle.loads(s.recv())
+                frames = s.recv_multipart()
+                msg = pickle.loads(frames[0])
+                payload = frames[1:]
                 if msg.get("type") in ("batch", "batch_failed", "reject"):
                     key = (msg.get("uid", ""), msg.get("subset", ""), msg.get("req", -1))
                     ident = self._route.get(key)
@@ -96,9 +98,16 @@ class Proxy(ProcessWorker):
                         continue
                     if msg["type"] != "reject":
                         self._route.pop(key, None)
-                    if msg["type"] == "batch":
-                        msg["batch_blob"] = self.batch_preprocessing(msg["batch_blob"])
-                    self.frontend.send_multipart([ident, pickle.dumps(msg)])
+                    if (msg["type"] == "batch" and type(self).batch_preprocessing
+                            is not Proxy.batch_preprocessing):
+                        # subclass hook: materialize the batch blob, transform,
+                        # re-frame (the zero-copy fast path skips all of this)
+                        blob = self.batch_preprocessing(
+                            Serialize.dump(Serialize.load_frames(payload))
+                            if payload else msg["batch_blob"])
+                        payload = [blob]
+                    self.frontend.send_multipart(
+                        [ident, frames[0], *payload], copy=False)
 
     def on_finish(self) -> None:
         self.frontend.close(0)

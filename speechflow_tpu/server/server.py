@@ -103,7 +103,7 @@ class DataServer(ProcessWorker):
             self._on_frontend(frames[0], pickle.loads(frames[-1]))
         if self.backend in events:
             frames = self.backend.recv_multipart()
-            self._on_backend(frames[0], pickle.loads(frames[-1]))
+            self._on_backend(frames[0], pickle.loads(frames[1]), frames[2:])
         self._dispatch()
         self._status_info()
 
@@ -154,7 +154,8 @@ class DataServer(ProcessWorker):
                 "task_id": task_id,
                 "subset": subset,
                 "is_last": is_last,
-                "samples_blob": Serialize.dump([s for s in samples]),
+                # samples ride as out-of-band frames next to the header
+                "frames": Serialize.dump_frames(list(samples)),
             }
             # req = loader-assigned request id echoed in every reply; the
             # loader reorders by it (workers finish out of order)
@@ -179,7 +180,8 @@ class DataServer(ProcessWorker):
                 "workers": len(self.known_workers),
             })])
 
-    def _on_backend(self, ident: bytes, msg: dict) -> None:
+    def _on_backend(self, ident: bytes, msg: dict,
+                    payload: tp.Sequence[bytes] = ()) -> None:
         mtype = msg.get("type")
         self.known_workers.add(ident)
         if mtype == "ready":
@@ -191,13 +193,17 @@ class DataServer(ProcessWorker):
             meta = self.inflight.pop(msg["task_id"], None)
             self._batches_done += 1
             if meta is not None:
-                self.frontend.send_multipart([meta["loader"], pickle.dumps({
+                # the batch payload frames are routed onward verbatim — the
+                # broker never deserializes or copies the batch (zero-copy
+                # multipart protocol; see Serialize.dump_frames)
+                header = pickle.dumps({
                     "type": "batch",
                     "subset": meta["subset"],
                     "req": meta["req"],
                     "uid": meta["uid"],
-                    "batch_blob": msg["batch_blob"],
-                })])
+                })
+                self.frontend.send_multipart(
+                    [meta["loader"], header, *payload], copy=False)
             # the worker re-announces "ready" itself after each task
         elif mtype == "error":
             meta = self.inflight.pop(msg["task_id"], None)
@@ -211,7 +217,9 @@ class DataServer(ProcessWorker):
         while self.tasks and self.idle_workers:
             task = self.tasks.popleft()
             worker = self.idle_workers.popleft()
-            self.backend.send_multipart([worker, pickle.dumps(task)])
+            frames = task.pop("frames")
+            self.backend.send_multipart(
+                [worker, pickle.dumps(task), *frames], copy=False)
 
     def on_finish(self) -> None:
         self.frontend.close(0)

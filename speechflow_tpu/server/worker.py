@@ -53,20 +53,25 @@ class BatchWorker(ProcessWorker):
             self._announced = True
         if not self.socket.poll(200):
             return
-        msg = pickle.loads(self.socket.recv())
+        frames = self.socket.recv_multipart()
+        msg = pickle.loads(frames[0])
         if msg.get("type") != "task":
             return
         task_id = msg["task_id"]
         try:
-            samples = Serialize.load(msg["samples_blob"])
+            # samples arrive as out-of-band multipart frames (zero-copy
+            # protocol; single-frame blob kept as fallback)
+            if len(frames) > 1:
+                samples = Serialize.load_frames(frames[1:])
+            else:
+                samples = Serialize.load(msg["samples_blob"])
             comp = self.pipeline[msg["subset"]]
             batch = comp.data_processor.process(samples, is_last=msg["is_last"],
                                                 tag=msg["subset"])
-            self.socket.send(pickle.dumps({
-                "type": "result",
-                "task_id": task_id,
-                "batch_blob": Serialize.dump(batch),
-            }))
+            out = Serialize.dump_frames(batch)
+            self.socket.send_multipart(
+                [pickle.dumps({"type": "result", "task_id": task_id}), *out],
+                copy=False)
         except Exception as e:
             LOGGER.warning("worker %d failed task: %r", self.worker_idx, e)
             self.socket.send(pickle.dumps({

@@ -96,7 +96,7 @@ def run_trainstep(args) -> dict:
     losses = []
     for _ in range(3):  # fixed batch: loss must strictly decrease
         m = trainer.training_step(batch)
-        losses.append(m["mse"])
+        losses.append(float(m["mse"]))  # losses are lazy device scalars
     return {"losses": losses}
 
 
