@@ -55,6 +55,15 @@ class Serialize:
         return [head, *bufs]
 
     @staticmethod
-    def load_frames(frames: tp.Sequence[tp.Union[bytes, memoryview]]) -> tp.Any:
-        """Inverse of ``dump_frames`` (also accepts a plain 1-frame pickle)."""
-        return pickle.loads(frames[0], buffers=frames[1:])
+    def load_frames(frames: tp.Sequence[tp.Union[bytes, memoryview]],
+                    writable: bool = False) -> tp.Any:
+        """Inverse of ``dump_frames`` (also accepts a plain 1-frame pickle).
+
+        With ``writable=False`` (default) arrays reconstructed from the
+        out-of-band buffers are zero-copy views over the received frames and
+        therefore READ-ONLY.  Pass ``writable=True`` where downstream code
+        may mutate arrays in place (the feature workers do, for user preproc
+        handlers) — it copies each buffer once, in the receiving process.
+        """
+        bufs = [bytearray(b) for b in frames[1:]] if writable else frames[1:]
+        return pickle.loads(frames[0], buffers=bufs)

@@ -1,3 +1,3 @@
-from speechflow_tpu.models.codec.rvq import NeuralCodec, CodecParams, ResidualVQ
+from speechflow_tpu.models.codec.rvq import NeuralCodec, CodecDecoder, CodecParams, ResidualVQ
 
-__all__ = ["NeuralCodec", "CodecParams", "ResidualVQ"]
+__all__ = ["NeuralCodec", "CodecDecoder", "CodecParams", "ResidualVQ"]

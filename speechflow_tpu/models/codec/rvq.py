@@ -24,7 +24,7 @@ from flax import nnx
 from speechflow_tpu.models.tts.common import VectorQuantizer
 from speechflow_tpu.training.base_model import BaseModelParams
 
-__all__ = ["CodecParams", "ResidualVQ", "NeuralCodec"]
+__all__ = ["CodecParams", "ResidualVQ", "NeuralCodec", "CodecDecoder"]
 
 
 class CodecParams(BaseModelParams):
@@ -66,6 +66,33 @@ class ResidualVQ(nnx.Module):
         return out
 
 
+class CodecDecoder(nnx.Module):
+    """Standalone mirrored transposed-conv decoder: latents -> waveform.
+
+    Split out of ``NeuralCodec`` so consumers that only decode (the vocoder
+    ``DACHead``) don't carry dead encoder/RVQ parameters into their optimizer
+    state and checkpoints."""
+
+    def __init__(self, params: CodecParams, rngs: tp.Optional[nnx.Rngs] = None):
+        rngs = rngs or nnx.Rngs(0)
+        p = params
+        ch = p.channels * (2 ** len(p.strides))
+        self.dec_pre = nnx.Conv(p.latent_dim, ch, (3,), padding="SAME", rngs=rngs)
+        self.dec = nnx.List([])
+        for s in reversed(p.strides):
+            self.dec.append(nnx.ConvTranspose(ch, ch // 2, (2 * s,), strides=(s,),
+                                              padding="SAME", rngs=rngs))
+            ch //= 2
+        self.dec_post = nnx.Conv(ch, 1, (7,), padding="SAME", rngs=rngs)
+        self.hop = int(np.prod(p.strides))
+
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        x = nnx.elu(self.dec_pre(z))
+        for conv in self.dec:
+            x = nnx.elu(conv(x))
+        return jnp.tanh(self.dec_post(x))[..., 0]
+
+
 class NeuralCodec(nnx.Module):
     def __init__(self, params: CodecParams, rngs: tp.Optional[nnx.Rngs] = None):
         rngs = rngs or nnx.Rngs(0)
@@ -81,14 +108,8 @@ class NeuralCodec(nnx.Module):
         self.enc_post = nnx.Conv(ch, p.latent_dim, (3,), padding="SAME", rngs=rngs)
         self.enc_norm = nnx.LayerNorm(p.latent_dim, rngs=rngs)  # bounded latents keep RVQ stable
         self.rvq = ResidualVQ(p.n_quantizers, p.codebook_size, p.latent_dim, rngs=rngs)
-        self.dec_pre = nnx.Conv(p.latent_dim, ch, (3,), padding="SAME", rngs=rngs)
-        self.dec = nnx.List([])
-        for s in reversed(p.strides):
-            self.dec.append(nnx.ConvTranspose(ch, ch // 2, (2 * s,), strides=(s,),
-                                              padding="SAME", rngs=rngs))
-            ch //= 2
-        self.dec_post = nnx.Conv(ch, 1, (7,), padding="SAME", rngs=rngs)
-        self.hop = int(np.prod(p.strides))
+        self.decoder = CodecDecoder(p, rngs=rngs)
+        self.hop = self.decoder.hop
 
     # -- stages -----------------------------------------------------------
 
@@ -100,10 +121,7 @@ class NeuralCodec(nnx.Module):
         return self.enc_norm(self.enc_post(x))
 
     def decode_latent(self, z: jnp.ndarray) -> jnp.ndarray:
-        x = nnx.elu(self.dec_pre(z))
-        for conv in self.dec:
-            x = nnx.elu(conv(x))
-        return jnp.tanh(self.dec_post(x))[..., 0]
+        return self.decoder(z)
 
     # -- public API -------------------------------------------------------------
 

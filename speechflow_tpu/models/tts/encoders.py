@@ -314,9 +314,12 @@ class ConformerBlock(nnx.Module):
         if mask is not None:
             h = apply_mask(h, mask)
         h = nnx.glu(self.pw1(h), axis=-1)
-        # shifted-add depthwise conv (grouped convs lower poorly on TPU;
-        # see ops/anti_alias.py + ops.signal.depthwise_conv1d)
-        h = depthwise_conv1d(h, self.dw.kernel[...], self.dw.bias[...])
+        # shifted-add depthwise conv (grouped convs lower poorly on TPU; see
+        # ops/anti_alias.py + ops.signal.depthwise_conv1d), at the layer's
+        # compute dtype so mixed precision isn't silently promoted to fp32
+        dt = self.dw.dtype or h.dtype
+        h = depthwise_conv1d(h.astype(dt), self.dw.kernel[...].astype(dt),
+                             self.dw.bias[...].astype(dt))
         h = nnx.silu(self.dw_norm(h))
         h = self.dropout(self.pw2(h), deterministic=deterministic)
         x = x + h

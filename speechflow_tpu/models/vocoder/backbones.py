@@ -35,11 +35,17 @@ class ConvNeXtBlock(nnx.Module):
         res = x
         # shifted-add depthwise conv: feature_group_count=C grouped convs
         # lower pathologically on TPU (see ops/anti_alias.py); same params,
-        # same numerics, K fused VPU FMAs instead
-        x = depthwise_conv1d(x, self.dwconv.kernel[...], self.dwconv.bias[...])
+        # same numerics, K fused VPU FMAs instead.  Honor the layer's compute
+        # dtype (set_compute_dtype) — reading the raw fp32 master kernel
+        # against bf16 activations would silently promote the op to fp32.
+        dt = self.dwconv.dtype or x.dtype
+        x = depthwise_conv1d(x.astype(dt), self.dwconv.kernel[...].astype(dt),
+                             self.dwconv.bias[...].astype(dt))
         x = self.norm(x)
         x = self.pw2(nnx.gelu(self.pw1(x)))
-        return res + self.gamma[...] * x
+        # cast the residual scale: a raw fp32 gamma would promote the whole
+        # block output (and its HBM write) back to fp32 under bf16 compute
+        return res + self.gamma[...].astype(x.dtype) * x
 
 
 class VocosBackbone(nnx.Module):

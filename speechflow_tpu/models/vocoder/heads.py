@@ -147,23 +147,26 @@ class DACHead(nnx.Module):
 
     def __init__(self, dim: int, hop_length: int = 256,
                  codec_params: tp.Optional[dict] = None, rngs: nnx.Rngs = None):
-        from speechflow_tpu.models.codec import CodecParams, NeuralCodec
+        from speechflow_tpu.models.codec import CodecDecoder, CodecParams
 
         rngs = rngs or nnx.Rngs(0)
         cp = dict(codec_params or {})
         cp.setdefault("strides", _factor_strides(hop_length))
-        self.codec = NeuralCodec(CodecParams.create(cp), rngs=rngs)
-        if self.codec.hop != hop_length:
+        params = CodecParams.create(cp)
+        # decoder only: the encoder/RVQ halves would be dead parameters here
+        # (never forward, yet optimized, decayed, and checkpointed)
+        self.decoder = CodecDecoder(params, rngs=rngs)
+        if self.decoder.hop != hop_length:
             raise ValueError(
-                f"codec strides {cp['strides']} upsample x{self.codec.hop}, "
+                f"codec strides {cp['strides']} upsample x{self.decoder.hop}, "
                 f"but the vocoder hop is {hop_length}")
-        self.proj = nnx.Linear(dim, self.codec.p.latent_dim, rngs=rngs)
+        self.proj = nnx.Linear(dim, params.latent_dim, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """(B, T, dim) -> (B, T * hop) waveform."""
         # no 10x latent rescale: the reference's factor matches its frozen
         # pretrained decoder's input scale; a jointly-trained decoder learns it
-        return self.codec.decode_latent(self.proj(x))
+        return self.decoder(self.proj(x))
 
 
 def _mdct_basis(frame_len: int) -> np.ndarray:

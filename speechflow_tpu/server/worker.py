@@ -60,9 +60,12 @@ class BatchWorker(ProcessWorker):
         task_id = msg["task_id"]
         try:
             # samples arrive as out-of-band multipart frames (zero-copy
-            # protocol; single-frame blob kept as fallback)
+            # protocol; single-frame blob kept as fallback). writable=True:
+            # preproc handlers may legitimately mutate sample arrays in
+            # place, so the one defensive copy happens here, in the worker
+            # process, never at the broker.
             if len(frames) > 1:
-                samples = Serialize.load_frames(frames[1:])
+                samples = Serialize.load_frames(frames[1:], writable=True)
             else:
                 samples = Serialize.load(msg["samples_blob"])
             comp = self.pipeline[msg["subset"]]

@@ -112,7 +112,9 @@ class GANTrainer:
         return jax.tree_util.tree_map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
 
-    def training_step(self, batch) -> tp.Dict[str, float]:
+    def training_step(self, batch) -> tp.Dict[str, jnp.ndarray]:
+        """One gen (+disc) step; returns {name: lazy 0-d device scalar} —
+        see Trainer.training_step for the fetch contract."""
         inputs, targets = self.batch_processor(batch)
         inputs, targets = self._place(inputs), self._place(targets)
         step = jnp.asarray(self.global_step, jnp.int32)

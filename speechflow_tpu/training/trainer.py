@@ -150,7 +150,13 @@ class Trainer:
         return jax.tree_util.tree_map(
             lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
 
-    def training_step(self, batch) -> tp.Dict[str, float]:
+    def training_step(self, batch) -> tp.Dict[str, jnp.ndarray]:
+        """One optimizer step; returns {name: 0-d device scalar}.
+
+        Values are LAZY — call float(v) to fetch (each scalar supports
+        float/format/comparison transparently). Anything that needs plain
+        floats (json, csv, cross-process reporting) must convert first.
+        """
         inputs, targets = self.batch_processor(batch)
         inputs, targets = self._place(inputs), self._place(targets)
         step = jnp.asarray(self.global_step, jnp.int32)
