@@ -253,9 +253,48 @@ def build_flagship_stages():
     rng = np.random.default_rng(0)
     inputs = _tts_inputs(rng, flagship=True)
     mel_in = jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)), jnp.bfloat16)
+
+    # flagship acoustic TRAIN step: shipped dims, bf16 compute with fp32
+    # masters (the trainer's mixed_precision recipe) — the program real
+    # acoustic training spends its time in, not just the toy-dims row
+    import dataclasses
+
+    import optax
+
+    from speechflow_tpu.training.trainer import set_compute_dtype
+    from speechflow_tpu.utils.masks import sequence_mask
+
+    train_model = ParallelTTSModel(
+        ParallelTTSParams.create(dict(m, dropout=0.1)), rngs=nnx.Rngs(0))
+    set_compute_dtype(train_model, jnp.bfloat16)
+    opt = nnx.Optimizer(train_model, optax.adamw(1e-4), wrt=nnx.Param)
+    train_inputs = dataclasses.replace(
+        inputs,
+        mel=jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)).astype(np.float32)),
+        mel_lengths=jnp.full((BATCH,), T_FRAMES, jnp.int32),
+        aggregate_pitch=jnp.asarray(rng.uniform(100, 300, (BATCH, N_TOKENS)).astype(np.float32)),
+        aggregate_energy=jnp.asarray(rng.uniform(0, 10, (BATCH, N_TOKENS)).astype(np.float32)),
+    )
+
+    @nnx.jit
+    def flagship_train_step(model, opt, inputs):
+        def loss_fn(mod):
+            out = mod(inputs, training=True)
+            mel_pred = out.spectrogram.astype(jnp.float32)
+            mask = sequence_mask(inputs.mel_lengths, inputs.mel.shape[1])[..., None]
+            l1 = jnp.sum(jnp.abs(mel_pred - inputs.mel[None]) * mask[None]) / (
+                2 * jnp.maximum(jnp.sum(mask) * inputs.mel.shape[-1], 1.0))
+            return l1 + sum(out.additional_losses.values())
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        opt.update(model, grads)
+        return loss
+
     stages = {
         "flagship_acoustic": (jax.jit(acoustic_only), (a_state, inputs)),
         "flagship_vocoder": (jax.jit(vocoder_only), (v_state, mel_in)),
+        "flagship_train_step": (flagship_train_step,
+                                (train_model, opt, train_inputs)),
     }
     try:
         body = _cfm_body_flops(m, inputs)
@@ -505,9 +544,11 @@ def main():
         for name, (sfn, sargs) in group.items():
             try:
                 sec = _time_stage(sfn, sargs)
-                if name == "train_step":
-                    stage_report["train_frames_per_s"] = round(BATCH * T_FRAMES / sec, 1)
-                    stage_report["train_steps_per_s"] = round(1.0 / sec, 3)
+                if name.endswith("train_step"):
+                    prefix = name[: -len("train_step")]
+                    stage_report[f"{prefix}train_frames_per_s"] = round(
+                        BATCH * T_FRAMES / sec, 1)
+                    stage_report[f"{prefix}train_steps_per_s"] = round(1.0 / sec, 3)
                 else:
                     a_s = (audio_s or {}).get(name, batch_audio_s)
                     stage_report[f"{name}_xrt"] = round(a_s / sec, 1)
