@@ -274,3 +274,58 @@ def test_xtts_train_and_eval_interface(tmp_path):
     assert audio.sr == iface.sample_rate
     wav = audio.waveform
     assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_demo_server_end_to_end(tts_experiment, vocoder_experiment):
+    """The shipped web demo (app/demo_server.py) serves a WAV from the same
+    checkpoints the eval interfaces use — reference streamlit-demo parity
+    (app/streamlit/tts_demo.py:46) driven over real HTTP."""
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.parse
+    import urllib.request
+
+    from speechflow_tpu.training.saver import ExperimentSaver
+
+    tts_ckpt = ExperimentSaver.get_last_checkpoint(tts_experiment)
+    voc_ckpt = ExperimentSaver.get_last_checkpoint(vocoder_experiment)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = Path(__file__).parent.parent
+    proc = subprocess.Popen(
+        [sys.executable, str(repo / "app" / "demo_server.py"),
+         "--tts_ckpt", str(tts_ckpt), "--vocoder_ckpt", str(voc_ckpt),
+         "--port", str(port), "--platform", "cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    try:
+        deadline = time.time() + 300
+        info = None
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    "demo server died:\n" + proc.stdout.read().decode(errors="replace")[-3000:])
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/info", timeout=5) as r:
+                    import json
+
+                    info = json.loads(r.read())
+                    break
+            except OSError:
+                time.sleep(2.0)
+        assert info and info["languages"] and info["speakers"]
+        q = urllib.parse.urlencode({"text": "Hello demo.",
+                                    "lang": info["languages"][0],
+                                    "speaker": info["speakers"][0]})
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/synthesize?{q}", timeout=600) as r:
+            blob = r.read()
+        assert r.status == 200
+        assert blob[:4] == b"RIFF" and len(blob) > 1000
+    finally:
+        proc.kill()
+        proc.wait(timeout=30)
