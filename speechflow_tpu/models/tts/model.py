@@ -105,6 +105,8 @@ class ParallelTTSParams(BaseModelParams):
     decoder_type: str = "wrapper"        # wrapper | cfm
     decoder_dim: int = 256
     decoder_layers: int = 4
+    decoder_heads: int = 4               # CFM DiT heads; pick dim/heads = 128
+    #                                    # to fill the MXU contraction lanes
     decoder_inner: str = "transformer"   # for wrapper
     cfm_n_timesteps: int = 30
     cfm_cfg_scale: float = 0.0
@@ -208,7 +210,8 @@ class ParallelTTSModel(nnx.Module):
         # -- decoder ----------------------------------------------------------------------
         if p.decoder_type == "cfm":
             self.decoder = CFMDecoder(dim_in=va_dim, dim_out=p.n_mels, dim=p.decoder_dim,
-                                      n_layers=p.decoder_layers, cond_dim=cond_dim,
+                                      n_layers=p.decoder_layers,
+                                      n_heads=p.decoder_heads, cond_dim=cond_dim,
                                       n_timesteps=p.cfm_n_timesteps,
                                       cfg_scale=p.cfm_cfg_scale, rngs=rngs)
         elif p.decoder_type == "taco":

@@ -84,11 +84,19 @@ class ResBlock(nnx.Module):
 
 
 class SnakeUpsampleHead(nnx.Module):
-    """BigVGAN-class head: stacked transposed-conv upsampling + AMP blocks."""
+    """BigVGAN-class head: stacked transposed-conv upsampling + AMP blocks.
+
+    Multi-receptive-field fusion (``resblock_kernel_sizes``) follows the
+    reference BigVGANHead (heads/bigvgan.py:23-26: kernels (3, 7, 11),
+    upsample_initial_channel 1536, rates (4, 4, 2, 2, 2, 2)): each stage
+    averages parallel AMP resblocks with different kernel sizes.
+    """
 
     def __init__(self, dim: int = 512, upsample_rates: tp.Sequence[int] = (8, 8, 2, 2),
                  upsample_kernel_sizes: tp.Optional[tp.Sequence[int]] = None,
-                 channels: int = 256, rngs: nnx.Rngs = None):
+                 channels: int = 256,
+                 resblock_kernel_sizes: tp.Sequence[int] = (3,),
+                 rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
         upsample_kernel_sizes = upsample_kernel_sizes or [2 * r for r in upsample_rates]
         self.pre = nnx.Conv(dim, channels, (7,), padding="SAME", rngs=rngs)
@@ -99,16 +107,20 @@ class SnakeUpsampleHead(nnx.Module):
             self.ups.append(nnx.ConvTranspose(ch, ch // 2, (k,), strides=(r,),
                                               padding="SAME", rngs=rngs))
             ch = ch // 2
-            self.resblocks.append(ResBlock(ch, rngs=rngs))
+            self.resblocks.append(nnx.List([
+                ResBlock(ch, ks, rngs=rngs) for ks in resblock_kernel_sizes]))
         self.post_act = AntiAliasedSnake(ch, rngs=rngs)
         self.post = nnx.Conv(ch, 1, (7,), padding="SAME", rngs=rngs)
         self.total_upsample = int(np.prod(upsample_rates))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = self.pre(x)
-        for up, res in zip(self.ups, self.resblocks):
+        for up, res_group in zip(self.ups, self.resblocks):
             x = up(x)
-            x = res(x)
+            acc = res_group[0](x)
+            for res in res_group[1:]:
+                acc = acc + res(x)
+            x = acc / len(res_group)
         x = self.post_act(x)
         x = self.post(x)
         return jnp.tanh(x)[..., 0]

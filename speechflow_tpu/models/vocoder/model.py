@@ -59,6 +59,7 @@ class VocosParams(BaseModelParams):
     cond_dim: tp.Optional[int] = None      # speaker-emb conditioning
     upsample_rates: tp.Tuple[int, ...] = (8, 8, 2, 2)
     upsample_channels: int = 256
+    resblock_kernel_sizes: tp.Tuple[int, ...] = (3,)  # MRF; bigvgan: (3, 7, 11)
     mdct_frame_len: int = 512
     style_dim: int = 128                   # NSF AdaIN style-embedding dim
     n_harmonics: int = 8                   # NSF sine-source harmonics
@@ -104,8 +105,9 @@ class Vocos(nnx.Module):
         if p.head == "istft":
             self.head = ISTFTHead(bdim, p.n_fft, p.hop_length, rngs=rngs)
         elif p.head == "snake_upsample":
-            self.head = SnakeUpsampleHead(bdim, p.upsample_rates,
-                                          channels=p.upsample_channels, rngs=rngs)
+            self.head = SnakeUpsampleHead(
+                bdim, p.upsample_rates, channels=p.upsample_channels,
+                resblock_kernel_sizes=p.resblock_kernel_sizes, rngs=rngs)
         elif p.head == "imdct_symexp":
             self.head = IMDCTSymExpHead(bdim, p.mdct_frame_len, rngs=rngs)
         elif p.head == "imdct_cos":
