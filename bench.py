@@ -352,6 +352,40 @@ def build_dsp_stages():
     }
 
 
+def measure_data_plane(duration_s: float = 8.0) -> dict:
+    """Distributed data-plane throughput (BASELINE config 5: E2E via the data
+    server): a synthetic pipeline with realistic per-sample payloads (~1.5 MB
+    mel+wav) through a REAL DataServer + 2 worker processes + prefetching
+    loader, reported as batches/s and MB/s (zero-copy multipart transport)."""
+    import jax
+
+    from speechflow_tpu.data.core import DataSample, Dataset
+    from speechflow_tpu.data.core.components import DataPipeline
+    from speechflow_tpu.io import Config
+    from speechflow_tpu.server import init_data_loader
+
+    rng = np.random.default_rng(0)
+    cfg = Config({"dataset": {"subsets": ["train"]},
+                  "sampler": {"train": {"type": "RandomSampler"}},
+                  "preproc": {"pipe": []}})
+    dp = DataPipeline(cfg)
+    ds = Dataset([DataSample(label=str(i), index=i,
+                             additional={"mel": rng.normal(size=(1024, 100)).astype(np.float32),
+                                         "wav": rng.normal(size=(262144,)).astype(np.float32)})
+                  for i in range(128)])
+    dp.init_components(datasets={"train": ds})
+    bundle = init_data_loader(pipeline=dp, batch_size=8, n_workers=2,
+                              prefetch_factor=8)
+    try:
+        r = bundle["train"].test_connection(duration_s=duration_s)
+        return {
+            "data_plane_batches_per_s": round(r["batches_per_s"], 2),
+            "data_plane_mb_per_s": round(r["batches_per_s"] * r["mb_per_batch"], 1),
+        }
+    finally:
+        bundle.shutdown()
+
+
 def build_xtts_stage():
     """XTTS AR sampling at flagship dims (configs/xtts_model.yml class):
     KV-cached GPT over codec tokens -> codec decode, one jit program.
@@ -629,6 +663,12 @@ def main():
         del gan, batch
     except Exception as e:  # noqa: BLE001
         stage_report["gan_error"] = str(e)[:120]
+
+    # host data plane: real server/worker processes + ZMQ, pure CPU
+    try:
+        stage_report.update(measure_data_plane())
+    except Exception as e:  # noqa: BLE001
+        stage_report["data_plane_error"] = str(e)[:120]
 
     # e2e MFU (XLA flop estimate / measured time vs v5e bf16 peak)
     mfu = _stage_mfu(jitted, args, elapsed / ITERS, flop_corrections.get("e2e", 0.0))
