@@ -250,8 +250,19 @@ def build_flagship_stages():
     def vocoder_only(v_state, mel):
         return nnx.merge(v_def, v_state)({"mel": mel})
 
+    def e2e(a_state, v_state, inputs):
+        # the production serving program: tokens -> CFM -> full BigVGAN,
+        # one jit dispatch (docs/serving.md "one jit program" checklist item)
+        am = nnx.merge(a_def, a_state)
+        vm = nnx.merge(v_def, v_state)
+        mel = am(inputs, training=False, t_out=T_FRAMES).spectrogram[-1]
+        return vm.from_features(mel)
+
     rng = np.random.default_rng(0)
     inputs = _tts_inputs(rng, flagship=True)
+    one = jax.tree_util.tree_map(
+        lambda x: x[:1] if hasattr(x, "ndim") and x.ndim >= 1
+        and x.shape[0] == BATCH else x, inputs)
     mel_in = jnp.asarray(rng.normal(size=(BATCH, T_FRAMES, 100)), jnp.bfloat16)
 
     # flagship acoustic TRAIN step: shipped dims, bf16 compute with fp32
@@ -290,9 +301,12 @@ def build_flagship_stages():
         opt.update(model, grads)
         return loss
 
+    e2e_jit = jax.jit(e2e)
     stages = {
         "flagship_acoustic": (jax.jit(acoustic_only), (a_state, inputs)),
         "flagship_vocoder": (jax.jit(vocoder_only), (v_state, mel_in)),
+        "flagship_e2e": (e2e_jit, (a_state, v_state, inputs)),
+        "flagship_latency_b1": (e2e_jit, (a_state, v_state, one)),
         "flagship_train_step": (flagship_train_step,
                                 (train_model, opt, train_inputs)),
     }
@@ -300,7 +314,8 @@ def build_flagship_stages():
         body = _cfm_body_flops(m, inputs)
     except Exception:  # noqa: BLE001 — correction is best-effort
         body = 0.0
-    corrections = {"flagship_acoustic": (CFM_STEPS - 1) * body}
+    corrections = {"flagship_acoustic": (CFM_STEPS - 1) * body,
+                   "flagship_e2e": (CFM_STEPS - 1) * body}
     return stages, corrections
 
 
@@ -569,7 +584,7 @@ def main():
     # stages dominated by a long lax.scan whose per-trip flop correction we
     # don't compute (the XTTS 512-step decode, the MAS wavefront): report no
     # MFU rather than a number cost_analysis understates by the trip count
-    no_mfu = {"xtts_sample", "aligner"}
+    no_mfu = {"xtts_sample", "aligner", "flagship_latency_b1"}
 
     def _time_group(group, corrections, audio_s=None):
         """audio_s: per-stage audio-seconds override for the xrt computation
@@ -583,6 +598,10 @@ def main():
                     stage_report[f"{prefix}train_frames_per_s"] = round(
                         BATCH * T_FRAMES / sec, 1)
                     stage_report[f"{prefix}train_steps_per_s"] = round(1.0 / sec, 3)
+                elif name.endswith("latency_b1"):
+                    stage_report[f"{name}_ms"] = round(sec * 1e3, 1)
+                    stage_report[f"{name}_xrt"] = round(
+                        (T_FRAMES - 1) * HOP / SR / sec, 1)
                 else:
                     a_s = (audio_s or {}).get(name, batch_audio_s)
                     stage_report[f"{name}_xrt"] = round(a_s / sec, 1)

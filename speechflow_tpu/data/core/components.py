@@ -151,6 +151,16 @@ class PipelineComponents:
                     inst.apply(self.dataset[i])
 
     def build_preproc(self, alphabet: tp.Optional[Alphabet] = None) -> None:
+        # user-extension hook: `preproc.imports` lists modules whose import
+        # registers custom @handler functions. Resolved here — i.e. in EVERY
+        # process that builds a pipeline (main, server, each BatchWorker) —
+        # because workers rebuild the pipe by handler NAME from their own
+        # registry, so a handler defined outside speechflow_tpu must be
+        # importable, not just registered in the parent process.
+        import importlib
+
+        for mod in self._preproc_pipe_cfg.get("imports", []) or []:
+            importlib.import_module(mod)
         pipe = list(self._preproc_pipe_cfg.get("pipe", []) or [])
         pipe_cfg = self._preproc_pipe_cfg.section("pipe_cfg")
         self.preproc_fns = []

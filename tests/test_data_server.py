@@ -196,3 +196,36 @@ def test_standalone_data_client():
             assert isinstance(section, dict)
     finally:
         bundle.shutdown()
+
+
+def test_worker_handlers_may_mutate_in_place():
+    """Samples cross the zero-copy transport as read-only buffer views; the
+    workers re-materialize them writable so user preproc handlers that mutate
+    arrays in place (legal in the reference) keep working."""
+    import numpy as np
+
+    cfg = Config({
+        "dataset": {"subsets": ["train"]},
+        "sampler": {"train": {"type": "SimpleSampler"}},
+        # preproc.imports: custom-handler extension hook — the module is
+        # imported in every process that builds the pipeline (incl. workers)
+        "preproc": {"imports": ["tests.tools.mutating_handler"],
+                    "pipe": ["mutate_payload_inplace"]},
+    })
+    dp = DataPipeline(cfg)
+    ds = Dataset([
+        DataSample(label=str(i), index=i,
+                   additional={"payload": np.full((64, 64), float(i), np.float32)})
+        for i in range(8)
+    ])
+    dp.init_components(datasets={"train": ds})
+    bundle = init_data_loader(pipeline=dp, batch_size=4, n_workers=1,
+                              prefetch_factor=2)
+    try:
+        batch = bundle["train"].next_batch(timeout=120)
+        assert batch.size == 4
+        for s in batch.data_samples:
+            i = float(s.label)
+            assert s.additional["payload_sum"] == (i + 1.0) * 64 * 64
+    finally:
+        bundle.shutdown()
