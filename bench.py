@@ -214,10 +214,12 @@ def build_toy():
     return tts, (a_state, v_state, inputs), stages, corrections
 
 
-def build_flagship_stages():
+def build_flagship_stages(value_select: str = "default"):
     """Inference programs built from the SHIPPED default configs: the
     tts_model.yml model section (all conditioning features, variance adaptor,
-    gate, CFM with batched CFG) and the vocoder_bigvgan.yml generator."""
+    gate, CFM with batched CFG) and the vocoder_bigvgan.yml generator.
+    ``value_select='debug'`` builds the same programs at the configs' debug
+    dims (used by tests/test_bench_builders.py on CPU)."""
     import jax
     import jax.numpy as jnp
     from flax import nnx
@@ -227,16 +229,17 @@ def build_flagship_stages():
     from speechflow_tpu.models.vocoder import Vocos, VocosParams
 
     m = Config.create_from_file(REPO / "configs" / "tts_model.yml",
-                                value_select=["default"]).section("model").to_dict()
+                                value_select=[value_select]).section("model").to_dict()
     m.update(n_symbols=100, n_speakers=8, n_langs=2, n_mels=100,
              max_output_length=T_FRAMES, dropout=0.0,
              cfm_cfg_scale=1.0)  # CFG on: doubled-batch estimator each step
     acoustic = ParallelTTSModel(ParallelTTSParams.create(m), rngs=nnx.Rngs(0))
 
     v = Config.create_from_file(REPO / "configs" / "vocoder_bigvgan.yml",
-                                value_select=["default"]).section("model").to_dict()
+                                value_select=[value_select]).section("model").to_dict()
     vocoder = Vocos(VocosParams.create(dict(v, feature_extractor="audio",
-                                            input_feature="mel")),
+                                            input_feature="mel",
+                                            n_mels=100)),  # match the bench mel grid
                     rngs=nnx.Rngs(1))
 
     a_def, a_state = nnx.split(acoustic)
@@ -401,7 +404,7 @@ def measure_data_plane(duration_s: float = 8.0) -> dict:
         bundle.shutdown()
 
 
-def build_xtts_stage():
+def build_xtts_stage(value_select: str = "default"):
     """XTTS AR sampling at flagship dims (configs/xtts_model.yml class):
     KV-cached GPT over codec tokens -> codec decode, one jit program.
     Reported as x realtime of the generated audio plus GPT tokens/s."""
@@ -412,7 +415,7 @@ def build_xtts_stage():
     from speechflow_tpu.models.tts.xtts import XTTSModel, XTTSParams
 
     m = Config.create_from_file(REPO / "configs" / "xtts_model.yml",
-                                value_select=["default"]).section("model").to_dict()
+                                value_select=[value_select]).section("model").to_dict()
     m.setdefault("n_symbols", 256)
     model = XTTSModel(XTTSParams.create(m), rngs=nnx.Rngs(0))
     x_def, x_state = nnx.split(model)
