@@ -31,7 +31,11 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
     p.add_argument("-o", "--output_root", required=True)
     p.add_argument("--steps", nargs="*", type=int, default=[0, 1, 2, 3, 4])
     p.add_argument("--aligner_config", default="configs/aligner_model.yml")
-    p.add_argument("--data_config", default="configs/tts_data_24khz.yml")
+    p.add_argument("--data_config", default=None,
+                   help="override the per-stage aligner data config (default: "
+                        "configs/aligner_data_stage{1,2}.yml per stage)")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="override aligner trainer.max_steps (both stages)")
     p.add_argument("-vs", "--value_select", nargs="*", default=["debug"])
     p.add_argument("--lang", default="EN")
     p.add_argument("--use_whisper", action="store_true",
@@ -75,17 +79,36 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
         report["segs"] = len(paths)
         LOGGER.info("step 1: %d segs", len(paths))
 
+    # Step 2 is the 2-STAGE forced-alignment recipe (reference
+    # annotator/runner.py:691-713, configs/2stage/data_stage{1,2}.yml):
+    #   stage 1: train on raw .TextGrid segs (pauses from text punctuation,
+    #            service tokens ON) -> align -> .TextGridStage1
+    #   stage 2: train on the STAGE-1 OUTPUT (.TextGridStage1: pauses from
+    #            stage-1 timestamps, anomalous-phoneme filter, service tokens
+    #            OFF, warmstarted from the stage-1 checkpoint) -> align ->
+    #            .TextGridStage2 with true inter-word SIL positions
     ckpts = {}
     if 2 in args.steps:
-        from speechflow_tpu.io import Config
         from speechflow_tpu.scripts import train_aligner
         from speechflow_tpu.training import ExperimentSaver
 
+        cfg_dir = Path(args.aligner_config).parent
         for stage in (1, 2):
-            exp = train_aligner.main([
-                "-c", args.aligner_config, "-cd", args.data_config,
+            data_cfg = args.data_config or str(
+                cfg_dir / f"aligner_data_stage{stage}.yml")
+            train_args = [
+                "-c", args.aligner_config, "-cd", data_cfg,
                 "-vs", *args.value_select, "--data_root", str(segs_root),
-            ])
+            ]
+            if args.max_steps:
+                train_args += ["--max_steps", str(args.max_steps)]
+            if stage == 2 and ckpts.get(1):
+                # reference continues stage-2 training from the stage-1
+                # experiment (runner.py:710 experiment_path ->
+                # resume_from_checkpoint); weights carry over, the data
+                # semantics change
+                train_args += ["-w", str(ckpts[1])]
+            exp = train_aligner.main(train_args)
             ckpts[stage] = ExperimentSaver.get_last_checkpoint(exp)
             from speechflow_tpu.annotator.align import Aligner, AlignStage
 
@@ -97,6 +120,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
     if 3 in args.steps and ckpts.get(2):
         from speechflow_tpu.annotator.align import Aligner, AlignStage
 
+        # stage-3 correction: the stage-2 model re-aligns the .TextGridStage2
+        # grids, adding BOS/EOS silence annotation + last-token correction
         aligner = Aligner(ckpts[2])
         emitted = aligner.run(segs_root, AlignStage.stage3)
         report["stage3"] = len(emitted)

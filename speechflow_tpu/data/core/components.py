@@ -166,7 +166,13 @@ class PipelineComponents:
         self.preproc_fns = []
         self.handler_params = {}
         if alphabet is not None:
-            self.text_processor = TTSTextProcessor(alphabet)
+            # stage-2 FA data configs turn service tokens off (reference
+            # 2stage/data_stage2.yml `add_service_tokens: False`)
+            service = bool(pipe_cfg.section("text_to_transcription")
+                           .get("add_service_tokens", True)) \
+                if "text_to_transcription" in pipe_cfg else True
+            self.text_processor = TTSTextProcessor(alphabet,
+                                                   add_service_tokens=service)
         for name in pipe:
             if name in self.ignored_handlers:
                 continue
@@ -177,6 +183,7 @@ class PipelineComponents:
             params = pipe_cfg.section(name).to_dict() if name in pipe_cfg else {}
             if name == "text_to_transcription":
                 params = dict(params, processor=self.text_processor)
+                params.pop("add_service_tokens", None)  # consumed above
             if "ranges" in inspect.signature(fn).parameters                     and "StatisticsRange" in self.singletons:
                 # per-speaker normalization reads the fitted StatisticsRange
                 params = dict(params, ranges=self.singletons["StatisticsRange"])
@@ -264,6 +271,17 @@ class DataPipeline:
         else:
             for subset in self.subsets:
                 self.components[subset].set_dataset(datasets[subset])
+
+        # an empty TRAIN subset deadlocks downstream (the loader waits forever
+        # for a batch the sampler can never produce) — fail loudly instead
+        first_subset = self.subsets[0]
+        if self.components[first_subset].dataset is not None \
+                and len(self.components[first_subset].dataset) == 0:
+            raise ValueError(
+                f"subset '{first_subset}' is empty after parsing/filters "
+                f"(data_root={self.cfg.section('dirs').get('data_root')}, "
+                f"ext={file_cfg.get('ext')}) — check parser filters "
+                "(max_duration/max_phoneme_length) and the file extension")
 
         # fit singletons on the train subset, share with the others
         first = self.subsets[0]

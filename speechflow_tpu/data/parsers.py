@@ -35,6 +35,7 @@ class TTSDSParser(BaseDSParser):
         min_duration: tp.Optional[float] = None,
         max_phoneme_length: tp.Optional[float] = None,
         audio_strip: bool = False,
+        audio_strip_pad: float = 0.0,
         languages: tp.Optional[tp.Sequence[str]] = None,
         speakers: tp.Optional[tp.Sequence[str]] = None,
         **kwargs,
@@ -44,6 +45,7 @@ class TTSDSParser(BaseDSParser):
         self.min_duration = min_duration
         self.max_phoneme_length = max_phoneme_length
         self.audio_strip = audio_strip
+        self.audio_strip_pad = audio_strip_pad
         self.languages = set(languages) if languages else None
         self.speakers = set(speakers) if speakers else None
 
@@ -63,8 +65,13 @@ class TTSDSParser(BaseDSParser):
         if self.min_duration and dur < self.min_duration:
             return None
         if self.max_phoneme_length:
-            phs = seg.phonemes()
-            if phs and max(e - b for b, e, _ in phs) > self.max_phoneme_length:
+            # anomalously long PHONEMES only — pauses (empty/SIL labels) may
+            # legitimately be long (reference check_phoneme_length measures
+            # ts_by_phonemes, the word-grouped real phonemes;
+            # tts_ds_parser.py:218-226)
+            lens = [e - b for b, e, lab in seg.phonemes()
+                    if lab and lab not in ("<SIL>", "undefined_sil")]
+            if lens and max(lens) > self.max_phoneme_length:
                 return None
         return super().run_preprocessing(md)
 
@@ -75,6 +82,10 @@ class TTSDSParser(BaseDSParser):
         chunk = seg.audio_chunk
         if self.audio_strip and words:
             b, e = seg.bos_eos_bounds()
+            # reference TTSDSParser audio_strip keeps `pad` seconds of context
+            # on each side (2stage/data_stage1.yml pad 0.25, stage2 pad 0.15)
+            b = max(b - self.audio_strip_pad, 0.0)
+            e = min(e + self.audio_strip_pad, seg.duration)
             chunk = AudioChunk(
                 file_path=chunk.file_path,
                 begin=chunk.begin + b,

@@ -215,7 +215,15 @@ class PhonemeStatistics(BaseSingleton):
 
     def fit(self, dataset: Dataset) -> "PhonemeStatistics":
         for ds in dataset:
-            for p in getattr(ds, "phonemes", None) or ():
+            phs = getattr(ds, "phonemes", None)
+            if not phs and getattr(ds, "text", None):
+                # text-only corpora (annotator stage-1 .TextGrid files carry
+                # only a word tier): count the default phonemization so the
+                # alphabet covers what the `phonemize` handler will emit
+                from speechflow_tpu.data.processors.text import phonemize_words
+
+                phs, _ = phonemize_words(ds.text, lang=getattr(ds, "lang", None) or "EN")
+            for p in phs or ():
                 key = p if p else "<SIL>"
                 self.counts[key] = self.counts.get(key, 0) + 1
         return self

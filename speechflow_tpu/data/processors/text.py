@@ -132,6 +132,48 @@ class G2PParserHook(TextParserHook):
         return out
 
 
+def phonemize_words(text: str, hook: tp.Optional[TextParserHook] = None,
+                    lang: str = "EN") -> tp.Tuple[tp.List[str], tp.List[int]]:
+    """Phonemize raw text word-by-word -> (phonemes, per-word counts).
+
+    Used by the ``phonemize`` handler and by PhonemeStatistics when a corpus
+    carries text but no phoneme tier (the annotator's stage-1 forced-alignment
+    input: seg-generator ``.TextGrid`` files have only word timestamps —
+    reference data_stage1.yml phonemizes via TTSTextProcessor,
+    tts_text_processors.py:57). Punctuation is stripped here; pause insertion
+    is ``add_pauses_from_text``'s job so stage 1 controls it by config.
+    """
+    hook = hook or TextParserHook()
+    phonemes: tp.List[str] = []
+    counts: tp.List[int] = []
+    for word in text.split():
+        core = word.strip(hook.PAUSE_CHARS + "\"'()[]")
+        if not core:
+            continue
+        phs = [p for p in hook(core, lang) if p != SIL]
+        if not phs:
+            continue
+        phonemes.extend(phs)
+        counts.append(len(phs))
+    return phonemes, counts
+
+
+@handler(inputs={"text"}, outputs={"phonemes", "word_lengths"})
+def phonemize(ds: TTSDataSample, g2p: tp.Optional[str] = None) -> TTSDataSample:
+    """Text -> phonemes for samples without a phoneme tier (stage-1 FA
+    training data). No-op when phonemes already exist (TextGrid-parsed
+    corpora). ``g2p`` optionally points at a trained g2p.pkl; the default is
+    the char-level TextParserHook, matching PhonemeStatistics' alphabet."""
+    if ds.phonemes or not ds.text:
+        return ds
+    hook = G2PParserHook(g2p) if g2p else TextParserHook()
+    phs, counts = phonemize_words(ds.text, hook, ds.lang or "EN")
+    ds.phonemes = phs
+    ds.word_lengths = np.asarray(counts, dtype=np.int32)
+    ds.phoneme_timestamps = None
+    return ds
+
+
 class TTSTextProcessor:
     """Stateful text frontend bound to an Alphabet."""
 
