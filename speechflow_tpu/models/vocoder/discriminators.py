@@ -103,14 +103,34 @@ class MultiResolutionDiscriminator(nnx.Module):
 
 
 class VocoderDiscriminator(nnx.Module):
-    """MPD + MRD ensemble — the default pairing of the reference engine."""
+    """MPD + MRD ensemble — the default pairing of the reference engine.
+
+    ``use_cqt: true`` swaps the MRD for the true multi-scale sub-band CQT
+    discriminator, mirroring the reference's ``use_cqtd_disc`` switch
+    (vocos/lightning_engine.py:54,116-121 — the shipped mel_bigvgan.yml
+    trains with the CQT discriminator)."""
 
     def __init__(self, periods=(2, 3, 5, 7, 11),
                  resolutions=((1024, 256), (2048, 512), (512, 128)),
-                 channels: int = 32, rngs: nnx.Rngs = None):
+                 channels: int = 32, use_cqt: bool = False,
+                 sample_rate: int = 24000,
+                 cqt_bins_per_octave=(24, 36, 48),
+                 cqt_n_octaves=(9, 9, 9),
+                 rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
         self.mpd = MultiPeriodDiscriminator(periods, channels, rngs=rngs)
-        self.mrd = MultiResolutionDiscriminator(resolutions, channels, rngs=rngs)
+        if use_cqt:
+            from speechflow_tpu.models.vocoder.extra_discriminators import (
+                MultiScaleSubbandCQTDiscriminator,
+            )
+
+            self.mrd = MultiScaleSubbandCQTDiscriminator(
+                sr=sample_rate, n_octaves=tuple(cqt_n_octaves),
+                bins_per_octave=tuple(cqt_bins_per_octave),
+                filters=channels, rngs=rngs)
+        else:
+            self.mrd = MultiResolutionDiscriminator(resolutions, channels,
+                                                    rngs=rngs)
 
     def __call__(self, wav: jnp.ndarray):
         l1, f1 = self.mpd(wav)

@@ -1,12 +1,12 @@
-"""Additional discriminators: multi-band and log-frequency (CQT-class).
+"""Additional discriminators: multi-band, true CQT, and log-frequency.
 
 Capability parity with the reference MultiBandDiscriminator
 (tts/vocoders/vocos/modules/discriminators.py:325) and
-MultiScaleSubbandCQTDiscriminator (:459). The CQT analysis is realized as an
-STFT magnitude mapped through a constant log-frequency (constant-Q spaced)
-triangular filterbank at multiple scales — the conv stacks then operate on
-log-frequency patches, matching the CQT discriminator's receptive structure
-without a dedicated CQT transform (same spirit, TPU-friendly matmul).
+MultiScaleSubbandCQTDiscriminator (:459). The CQT discriminator here runs on
+the framework's TRUE constant-Q transform (ops/cqt.py — octave-recursive,
+per-bin constant Q, complex output), matching the reference's nnAudio
+CQT2010v2 analysis. The cheaper log-frequency STFT-filterbank variant is kept
+as an alternative (same receptive structure, one matmul instead of nine).
 """
 
 from __future__ import annotations
@@ -20,7 +20,9 @@ from flax import nnx
 
 from speechflow_tpu import ops
 
-__all__ = ["MultiBandDiscriminator", "LogFreqDiscriminator", "MultiScaleLogFreqDiscriminator"]
+__all__ = ["MultiBandDiscriminator", "LogFreqDiscriminator",
+           "MultiScaleLogFreqDiscriminator", "DiscriminatorCQT",
+           "MultiScaleSubbandCQTDiscriminator"]
 
 
 class _Conv2DStack(nnx.Module):
@@ -100,6 +102,82 @@ class LogFreqDiscriminator(nnx.Module):
         imag = jnp.matmul(spec.imag, self.fb.T)
         x = jnp.stack([real, imag], axis=-1)  # (B, T, bins, 2)
         return self.stack(x)
+
+
+class DiscriminatorCQT(nnx.Module):
+    """One CQT-scale discriminator (reference DiscriminatorCQT,
+    tts/vocoders/vocos/modules/discriminators.py:517): complex CQT ->
+    (real, imag) channels -> per-octave pre-convs -> frequency-concat ->
+    time-dilated conv stack with frequency stride 2 -> post conv. The CQT is
+    the framework's true octave-recursive transform (ops/cqt.py), not a
+    log-spaced STFT filterbank."""
+
+    def __init__(self, sr: int, hop_length: int = 512, n_octaves: int = 9,
+                 bins_per_octave: int = 24, filters: int = 32,
+                 max_filters: int = 1024, dilations: tp.Sequence[int] = (1, 2, 4),
+                 rngs: nnx.Rngs = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.sr = sr
+        self.hop_length = hop_length
+        self.n_octaves = n_octaves
+        self.bins_per_octave = bins_per_octave
+        self.conv_pres = nnx.List([
+            nnx.Conv(2, 2, (3, 9), padding="SAME", rngs=rngs)
+            for _ in range(n_octaves)
+        ])
+        convs = [nnx.Conv(2, filters, (3, 9), padding="SAME", rngs=rngs)]
+        in_ch = filters
+        for i, d in enumerate(dilations):
+            out_ch = min(filters * (2 ** (i + 1)), max_filters)
+            convs.append(nnx.Conv(in_ch, out_ch, (3, 9), strides=(1, 2),
+                                  kernel_dilation=(d, 1), padding="SAME",
+                                  rngs=rngs))
+            in_ch = out_ch
+        convs.append(nnx.Conv(in_ch, in_ch, (3, 3), padding="SAME", rngs=rngs))
+        self.convs = nnx.List(convs)
+        self.post = nnx.Conv(in_ch, 1, (3, 3), padding="SAME", rngs=rngs)
+
+    def __call__(self, wav: jnp.ndarray):
+        from speechflow_tpu.ops.cqt import cqt
+
+        z = cqt(wav, self.sr, self.hop_length,
+                n_octaves=self.n_octaves,
+                bins_per_octave=self.bins_per_octave)      # (B, T, F, 2)
+        z = z.astype(jnp.float32)
+        # per-octave pre-convs over (T, bins_per_octave) patches
+        parts = []
+        for o in range(self.n_octaves):
+            sl = z[:, :, o * self.bins_per_octave:(o + 1) * self.bins_per_octave, :]
+            parts.append(self.conv_pres[o](sl))
+        x = jnp.concatenate(parts, axis=2)                 # (B, T, F, 2)
+        fmaps = []
+        for conv in self.convs:
+            x = nnx.leaky_relu(conv(x), 0.1)
+            fmaps.append(x)
+        logits = self.post(x)
+        fmaps.append(logits)
+        return logits.reshape(x.shape[0], -1), fmaps
+
+
+class MultiScaleSubbandCQTDiscriminator(nnx.Module):
+    """Three CQT scales (reference MultiScaleSubbandCQTDiscriminator :459:
+    hops 512/256/256 at the 2x working rate, 9 octaves, 24/36/48 bins per
+    octave)."""
+
+    def __init__(self, sr: int = 24000,
+                 hop_lengths: tp.Sequence[int] = (512, 256, 256),
+                 n_octaves: tp.Sequence[int] = (9, 9, 9),
+                 bins_per_octave: tp.Sequence[int] = (24, 36, 48),
+                 filters: int = 32, rngs: nnx.Rngs = None):
+        rngs = rngs or nnx.Rngs(0)
+        self.discs = nnx.List([
+            DiscriminatorCQT(sr, h, o, b, filters=filters, rngs=rngs)
+            for h, o, b in zip(hop_lengths, n_octaves, bins_per_octave)
+        ])
+
+    def __call__(self, wav: jnp.ndarray):
+        outs = [d(wav) for d in self.discs]
+        return [o[0] for o in outs], [o[1] for o in outs]
 
 
 class MultiScaleLogFreqDiscriminator(nnx.Module):

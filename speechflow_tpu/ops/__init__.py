@@ -30,6 +30,7 @@ from speechflow_tpu.ops.signal import (
 from speechflow_tpu.ops.pitch import yin_f0
 from speechflow_tpu.ops.length_regulator import length_regulate_hard, length_regulate_soft, duration_attention
 from speechflow_tpu.ops.mas import maximum_path
+from speechflow_tpu.ops.cqt import cqt, cqt_frequencies
 
 __all__ = [
     "hann_window", "frame_signal", "stft", "istft", "overlap_add", "magnitude",
