@@ -222,7 +222,8 @@ class GANTrainer:
                 self.save_checkpoint()
         if self.saver is not None:
             self.save_checkpoint()
-        return last
+        # force lazy device scalars at the API boundary (see Trainer.fit)
+        return {k: float(v) for k, v in last.items()}
 
     def save_checkpoint(self, extra: tp.Optional[dict] = None):
         if self.saver is None:

@@ -133,7 +133,58 @@ class ExperimentSaver:
         tree = ocp.PyTreeCheckpointer().restore(path.absolute())
         payload_file = path / "payload.pkl"
         payload = pickle.loads(payload_file.read_bytes()) if payload_file.exists() else {}
+        if isinstance(tree, dict) and "model" in tree:
+            tree["model"] = ExperimentSaver._remap_legacy_keys(tree["model"])
         return tree, payload
+
+    @staticmethod
+    def _remap_legacy_keys(model: dict) -> dict:
+        """Migrate checkpoints saved before two round-3 refactors changed nnx
+        pure-dict paths (resume/warm-start would otherwise fail
+        replace_by_pure_dict):
+
+        - NeuralCodec's inline decoder (``dec_pre``/``dec``/``dec_post``)
+          became a nested ``decoder`` CodecDecoder (models/codec/rvq.py:69);
+        - SnakeUpsampleHead resblocks gained an MRF nesting level
+          (``resblocks.N`` -> ``resblocks.N.M``).
+        """
+        if not isinstance(model, dict):
+            return model
+
+        def fix_codec(node):
+            if not isinstance(node, dict):
+                return node
+            for k, v in list(node.items()):
+                node[k] = fix_codec(v)
+            # a legacy NeuralCodec root carries dec_* NEXT TO other submodules
+            # (enc/quantizer); a CodecDecoder itself is dec_*-only — don't
+            # wrap that, or the recursion never terminates
+            has_dec = {"dec_pre", "dec", "dec_post"} & set(node)
+            has_others = bool(set(node) - {"dec_pre", "dec", "dec_post"})
+            if has_dec and has_others and "decoder" not in node:
+                node["decoder"] = {k: node.pop(k)
+                                   for k in ("dec_pre", "dec", "dec_post")
+                                   if k in node}
+            return node
+
+        def fix_resblocks(node):
+            if not isinstance(node, dict):
+                return node
+            if "resblocks" in node and isinstance(node["resblocks"], dict):
+                rb = node["resblocks"]
+                # pre-MRF blocks are ResBlock dicts directly ({convs, acts});
+                # post-MRF they are {M: ResBlock} groups with digit keys
+                flat = rb and all(isinstance(v, dict)
+                                  and {"convs", "acts"} <= set(v)
+                                  for v in rb.values())
+                if flat:
+                    node["resblocks"] = {k: {"0": v} for k, v in rb.items()}
+            for k, v in list(node.items()):
+                if k != "resblocks":
+                    node[k] = fix_resblocks(v)
+            return node
+
+        return fix_resblocks(fix_codec(model))
 
     # -- warmstart / finetune ---------------------------------------------------
 

@@ -183,7 +183,13 @@ class Trainer:
 
     def fit(self, train_loader, val_loader=None,
             callbacks: tp.Sequence[tp.Callable] = ()) -> tp.Dict[str, float]:
-        """train_loader: anything with next_batch() or an iterator of Batch."""
+        """train_loader: anything with next_batch() or an iterator of Batch.
+
+        Returns plain-float metrics. Callbacks receive the LAZY per-step dict
+        (0-d device scalars — float(v) to fetch); converting there every step
+        would block the host on device completion and serialize batch prep
+        with TPU compute, so callbacks opt into the sync themselves.
+        """
         get_next = self._batch_getter(train_loader)
         last = {}
         t0 = time.time()
@@ -205,7 +211,11 @@ class Trainer:
                 cb(self, last)
         if self.saver is not None:
             self.save_checkpoint()
-        return last
+        # fit's return value escapes the trainer (scripts json/yaml-serialize
+        # it, external callers compare floats) — force the device scalars at
+        # this API boundary; the per-step laziness above is what matters for
+        # throughput
+        return {k: float(v) for k, v in last.items()}
 
     def validate(self, val_loader) -> tp.Dict[str, float]:
         get_next = self._batch_getter(val_loader)

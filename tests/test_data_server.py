@@ -229,3 +229,37 @@ def test_worker_handlers_may_mutate_in_place():
             assert s.additional["payload_sum"] == (i + 1.0) * 64 * 64
     finally:
         bundle.shutdown()
+
+
+def test_loader_batches_are_readonly_views():
+    """LOADER-side contract: batches arriving over the zero-copy transport are
+    read-only numpy views (Serialize.load_frames writable=False — the frames
+    back the arrays directly, so in-place mutation would corrupt shared
+    buffers). Batch processors / callbacks must copy before mutating; the
+    worker side (above) is where in-place mutation is supported."""
+    import numpy as np
+
+    cfg = Config({
+        "dataset": {"subsets": ["train"]},
+        "sampler": {"train": {"type": "SimpleSampler"}},
+    })
+    dp = DataPipeline(cfg)
+    ds = Dataset([
+        DataSample(label=str(i), index=i,
+                   additional={"payload": np.full((64, 64), float(i), np.float32)})
+        for i in range(8)
+    ])
+    dp.init_components(datasets={"train": ds})
+    bundle = init_data_loader(pipeline=dp, batch_size=4, n_workers=1,
+                              prefetch_factor=2)
+    try:
+        batch = bundle["train"].next_batch(timeout=120)
+        arr = batch.data_samples[0].additional["payload"]
+        assert isinstance(arr, np.ndarray)
+        assert not arr.flags.writeable
+        with pytest.raises((ValueError, RuntimeError)):
+            arr[0, 0] = 1.0
+        # the documented escape hatch: copy before mutating
+        arr.copy()[0, 0] = 1.0
+    finally:
+        bundle.shutdown()

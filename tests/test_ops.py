@@ -350,3 +350,21 @@ def test_depthwise_conv1d_matches_grouped_conv(rng, k):
     got = depthwise_conv1d(x, conv.kernel[...], conv.bias[...])
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_depthwise_conv1d_bf16_drift_bounded(rng):
+    """Under mixed precision the shifted-add form accumulates in bf16 while
+    the grouped conv it replaced accumulates in fp32 on TPU; pin that the
+    bf16 drift vs an fp32 accumulation stays within bf16 rounding (~1e-2
+    relative at K<=7 taps) so a regression to larger error is caught."""
+    from speechflow_tpu.ops.signal import depthwise_conv1d
+
+    b, t, c, k = 2, 200, 32, 7
+    x32 = jnp.asarray(rng.normal(size=(b, t, c)).astype(np.float32))
+    kern32 = jnp.asarray(rng.normal(size=(k, c)).astype(np.float32) / k)
+    ref = np.asarray(depthwise_conv1d(x32, kern32))
+    got = np.asarray(depthwise_conv1d(x32.astype(jnp.bfloat16),
+                                      kern32.astype(jnp.bfloat16))
+                     .astype(jnp.float32))
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(got - ref).mean() / denom < 2e-2

@@ -353,3 +353,42 @@ def test_bf16_gan_step():
         last = m
     assert last["gen/rec"] < first["gen/rec"]
     assert gan.generator.l.kernel[...].dtype == jnp.float32
+
+
+def test_saver_legacy_key_remap():
+    """Checkpoints saved before the round-3 refactors (NeuralCodec inline
+    decoder -> nested CodecDecoder; SnakeUpsampleHead resblocks -> MRF
+    nesting) must load via the migration shim in ExperimentSaver."""
+    import numpy as np
+
+    from speechflow_tpu.training.saver import ExperimentSaver
+
+    legacy = {
+        "codec": {
+            "enc": {"w": np.ones(2)},
+            "dec_pre": {"kernel": np.ones(3)},
+            "dec": {"0": {"kernel": np.ones(3)}},
+            "dec_post": {"kernel": np.ones(3)},
+        },
+        "head": {
+            "resblocks": {
+                "0": {"convs": {"0": {"kernel": np.ones(2)}}, "acts": {}},
+                "1": {"convs": {"0": {"kernel": np.ones(2)}}, "acts": {}},
+            },
+        },
+    }
+    fixed = ExperimentSaver._remap_legacy_keys(legacy)
+    assert "decoder" in fixed["codec"] and "dec_pre" not in fixed["codec"]
+    assert set(fixed["codec"]["decoder"]) == {"dec_pre", "dec", "dec_post"}
+    rb = fixed["head"]["resblocks"]
+    assert set(rb["0"]) == {"0"} and "convs" in rb["0"]["0"]
+
+    # current-format trees pass through untouched
+    current = {
+        "codec": {"decoder": {"dec_pre": {"kernel": np.ones(3)}}},
+        "head": {"resblocks": {"0": {"0": {"convs": {}, "acts": {}}}}},
+    }
+    out = ExperimentSaver._remap_legacy_keys(
+        {k: dict(v) for k, v in current.items()})
+    assert out["head"]["resblocks"]["0"] == current["head"]["resblocks"]["0"]
+    assert "decoder" in out["codec"]
