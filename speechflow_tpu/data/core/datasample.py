@@ -152,3 +152,15 @@ class TTSDataSample(SpectrogramDataSample):
 @dataclass
 class ImageDataSample(DataSample):
     image: tp.Optional[np.ndarray] = None
+
+
+@dataclass
+class ProsodyPredictionDataSample(DataSample):
+    """Word-level prosody prediction sample (reference
+    ProsodyPredictionDataSample, data_types.py — token ids + per-token binary
+    and category targets; -1 marks positions excluded from the loss)."""
+
+    words: tp.Optional[tp.List[str]] = None
+    token_ids: tp.Optional[np.ndarray] = None   # (N,) tokenizer ids
+    binary: tp.Optional[np.ndarray] = None      # (N,) 0/1 has-contour, -1 pad
+    category: tp.Optional[np.ndarray] = None    # (N,) contour class, -1 pad

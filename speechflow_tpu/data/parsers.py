@@ -5,7 +5,9 @@ Capability parity with the reference parser zoo
 (lang/speaker meta, phoneme/word tiers, duration & phoneme-length filters),
 AudioDSParser wraps raw audio files, SimpleDSParser wraps any file list,
 EasyDSParser runs an arbitrary function over a file list in N processes,
-ImageDSParser reads image arrays.
+ImageDSParser reads image arrays, LibriSpeechDSParser reads MFA alignment
+grids from the LibriSpeech-Alignments layout, ProsodyParser turns
+TextGridStage3 prosody tiers into word-level prediction samples.
 """
 
 from __future__ import annotations
@@ -25,7 +27,9 @@ from speechflow_tpu.data.core.datasample import (
 from speechflow_tpu.data.core.parser import BaseDSParser, Metadata
 from speechflow_tpu.io import AudioChunk, AudioSeg, Timestamps
 
-__all__ = ["TTSDSParser", "AudioDSParser", "SimpleDSParser", "EasyDSParser", "ImageDSParser", "PARSERS"]
+__all__ = ["TTSDSParser", "AudioDSParser", "SimpleDSParser", "EasyDSParser",
+           "ImageDSParser", "LibriSpeechDSParser", "ProsodyParser",
+           "prosody_targets", "PARSERS"]
 
 
 class TTSDSParser(BaseDSParser):
@@ -195,10 +199,170 @@ class EasyDSParser(BaseDSParser):
         return DataSample(file_path=md["path"], additional={"result": out})
 
 
+class LibriSpeechDSParser(BaseDSParser):
+    """Parse LibriSpeech-Alignments MFA TextGrids (``words``+``phones``
+    tiers) into TTSDataSamples (reference LibriSpeechDSParser,
+    dataset_parsers/librispeech_ds_parser.py:21).
+
+    Per word interval, the covered ``phones`` entries become the word's
+    phonemes (``spn`` -> ``<UNK>``, reference :85); silence entries between
+    words are dropped — the pipeline's ``add_pauses_from_timestamps`` handler
+    reinserts pauses where the timestamps show real gaps. Audio resolves to
+    the sibling ``.flac``/``.wav`` with any ``-align`` path component removed
+    (reference :95); speaker is the LibriSpeech ``speaker/chapter/utt`` layout's
+    top directory.
+    """
+
+    #: phones-tier labels that mark silence, not speech
+    SIL_LABELS = frozenset({"", "sil", "sp", "spn_sil", "<eps>"})
+
+    def __init__(self, max_duration: tp.Optional[float] = None,
+                 min_duration: tp.Optional[float] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.max_duration = max_duration
+        self.min_duration = min_duration
+
+    def reader(self, path: tp.Union[str, Path]) -> tp.List[Metadata]:
+        from speechflow_tpu.io import TextGrid
+
+        grid = TextGrid.load(path)
+        return [{"grid": grid, "path": str(path)}]
+
+    @staticmethod
+    def resolve_audio(grid_path: Path) -> tp.Optional[Path]:
+        base = Path(str(grid_path).replace("-align", ""))
+        for suffix in (".flac", ".wav"):
+            p = base.with_suffix(suffix)
+            if p.exists():
+                return p
+        return None
+
+    def to_datasample(self, md: Metadata) -> tp.Optional[TTSDataSample]:
+        from speechflow_tpu.io import TextGrid
+
+        grid: TextGrid = md["grid"]
+        path = Path(md["path"])
+        if "words" not in grid or "phones" not in grid:
+            return None
+        words = [(b, e, lab) for b, e, lab in grid["words"].intervals if lab]
+        phones = [(b, e, lab) for b, e, lab in grid["phones"].intervals
+                  if lab.lower() not in self.SIL_LABELS]
+        if not words or not phones:
+            return None
+        dur = grid.xmax - grid.xmin
+        if self.max_duration and dur > self.max_duration:
+            return None
+        if self.min_duration and dur < self.min_duration:
+            return None
+
+        eps = 1e-4
+        phonemes: tp.List[str] = []
+        ph_ts: tp.List[tp.Tuple[float, float]] = []
+        word_lengths: tp.List[int] = []
+        for wb, we, _ in words:
+            n = 0
+            for pb, pe, lab in phones:
+                if pb >= wb - eps and pe <= we + eps:
+                    phonemes.append("<UNK>" if lab == "spn" else lab)
+                    ph_ts.append((pb, pe))
+                    n += 1
+            if n == 0:
+                return None  # word without phones: mis-parsed grid
+            word_lengths.append(n)
+        audio = self.resolve_audio(path)
+        if audio is None:
+            return None
+        # speaker/chapter/utt.TextGrid layout
+        speaker = path.parent.parent.name if path.parent.parent.name else path.parent.name
+        return TTSDataSample(
+            file_path=str(path),
+            sega_path=str(path),
+            label=speaker,
+            speaker_name=speaker,
+            lang="EN",
+            audio_chunk=AudioChunk(file_path=audio),
+            text=" ".join(lab for _, _, lab in words),
+            phonemes=phonemes,
+            phoneme_timestamps=Timestamps(np.asarray(ph_ts)),
+            word_timestamps=Timestamps(np.asarray([[b, e] for b, e, _ in words])),
+            word_lengths=np.asarray(word_lengths, np.int32) if word_lengths else None,
+        )
+
+
+def prosody_targets(words: tp.Sequence[str],
+                    prosody_labels: tp.Optional[tp.Sequence[str]],
+                    n_classes: int = 8) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Word-level prosody tier labels -> (binary, category) int32 targets.
+
+    Empty / ``undefined`` / ``no`` labels are class-less words (binary 0);
+    numeric labels are contour ids from the dump script's clustering
+    (binary 1, category ``int(label) % n_classes``). Shared by ProsodyParser
+    and the train_prosody loader so both emit identical targets.
+    """
+    binary = np.zeros(len(words), np.int32)
+    category = np.full(len(words), -1, np.int32)
+    for k in range(len(words)):
+        lab = (prosody_labels[k] if prosody_labels else
+               ("1" if words[k][-1:] in ",.?!" else "undefined"))
+        if lab in ("", "undefined", "no"):
+            binary[k] = 0
+        else:
+            binary[k] = 1
+            try:
+                category[k] = int(lab) % n_classes
+            except ValueError:
+                category[k] = 0
+    return binary, category
+
+
+class ProsodyParser(BaseDSParser):
+    """TextGridStage3 segas -> word-level prosody-prediction samples
+    (reference ProsodyParser, dataset_parsers/prosody_ds_parser.py: sega ->
+    tokens + per-token prosody labels; the reference tokenizes with an HF
+    tokenizer inside the parser — here token ids are hash-vocabulary by
+    default and a trained WordLM vocab can be plugged in, matching the
+    prosody model's two tokenizer modes)."""
+
+    def __init__(self, vocab_size: int = 8000,
+                 vocab: tp.Optional[tp.Dict[str, int]] = None,
+                 n_classes: int = 8, **kwargs):
+        super().__init__(**kwargs)
+        self.vocab_size = vocab_size
+        self.vocab = vocab
+        self.n_classes = n_classes
+
+    def reader(self, path: tp.Union[str, Path]) -> tp.List[Metadata]:
+        seg = AudioSeg.load(path)
+        return [{"seg": seg, "path": str(path)}]
+
+    def to_datasample(self, md: Metadata):
+        from speechflow_tpu.data.core.datasample import ProsodyPredictionDataSample
+        from speechflow_tpu.models.prosody.interface import hash_tokenize
+
+        seg: AudioSeg = md["seg"]
+        words = [lab for _, _, lab in seg.words()]
+        if not words:
+            return None
+        prosody = None
+        if "prosody" in seg.grid:
+            labels = seg.grid["prosody"].non_empty().labels
+            prosody = labels if len(labels) == len(words) else None
+        binary, category = prosody_targets(words, prosody, self.n_classes)
+        if self.vocab is not None:
+            ids = np.asarray([self.vocab.get(w.lower(), 0) for w in words], np.int32)
+        else:
+            ids = hash_tokenize(words, self.vocab_size)
+        return ProsodyPredictionDataSample(
+            file_path=md["path"], label=seg.speaker_name, words=words,
+            token_ids=ids, binary=binary, category=category)
+
+
 PARSERS = {
     "TTSDSParser": TTSDSParser,
     "AudioDSParser": AudioDSParser,
     "SimpleDSParser": SimpleDSParser,
     "ImageDSParser": ImageDSParser,
     "EasyDSParser": EasyDSParser,
+    "LibriSpeechDSParser": LibriSpeechDSParser,
+    "ProsodyParser": ProsodyParser,
 }

@@ -75,16 +75,13 @@ class ProsodySampleLoader:
             n = min(len(words), self.max_len)
             ids[r, :n] = self._tokenize(words[:n])
             lens[r] = n
-            for k in range(n):
-                lab = prosody[k] if prosody else ("1" if words[k][-1:] in ",.?!" else "undefined")
-                if lab in ("", "undefined", "no"):
-                    binary[r, k] = 0
-                else:
-                    binary[r, k] = 1
-                    try:
-                        category[r, k] = int(lab) % 8
-                    except ValueError:
-                        category[r, k] = 0
+            # shared with ProsodyParser so registry-driven pipelines and this
+            # loader emit identical targets
+            from speechflow_tpu.data.parsers import prosody_targets
+
+            b, c = prosody_targets(words[:n], prosody[:n] if prosody else None)
+            binary[r, :n] = b
+            category[r, :n] = c
         return {"token_ids": ids, "lengths": lens, "binary": binary, "category": category}
 
 
