@@ -83,6 +83,7 @@ def train(model_cfg, data_cfg, saver) -> str:
             disc_every=int(model_cfg.get_path("gan.disc_every", 1)),
             disc_start_iter=int(model_cfg.get_path("gan.disc_start_iter", 0)),
             tb_dir=saver.expr_path / "tb",
+            evaluate_pesq=bool(model_cfg.get_path("gan.evaluate_pesq", False)),
         )
         resume_from = model_cfg.get_path("resume.from")
         if resume_from:

@@ -49,8 +49,12 @@ class GANTrainer:
         disc_start_iter: int = 0,
         tb_dir: tp.Optional[tp.Union[str, Path]] = None,
         mos_hook: tp.Optional[tp.Callable] = None,
+        evaluate_pesq: bool = False,
     ):
         self.mos_hook = mos_hook
+        # reference: vocos/lightning_engine.py:69 `evaluate_pesq` — wideband
+        # PESQ at 16 kHz on each validation batch (models/vocoder/pesq.py)
+        self.evaluate_pesq = evaluate_pesq
         self.generator = generator
         self.discriminator = discriminator
         self.batch_processor = batch_processor
@@ -163,6 +167,11 @@ class GANTrainer:
         metrics = {"val/mcd": mel_cepstral_distortion(fake, real, sr),
                    "val/si_snr": si_snr(fake, real)}
         metrics.update({f"val/{k}": float(v) for k, v in pm.items()})
+        if self.evaluate_pesq:
+            from speechflow_tpu.models.vocoder.pesq import pesq_wb
+
+            metrics["val/pesq_wb"] = float(np.mean(
+                [pesq_wb(r, f, sr) for r, f in zip(real, fake)]))
         if self.mos_hook is not None:
             mos = [self.mos_hook(f, sr) for f in fake]
             mos = [m for m in mos if m is not None]
