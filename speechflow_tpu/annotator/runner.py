@@ -78,6 +78,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
         paths = gen.run(data_root, segs_root)
         report["segs"] = len(paths)
         LOGGER.info("step 1: %d segs", len(paths))
+    elif not segs_root.is_dir() and any(data_root.rglob("*.TextGrid")):
+        # resuming from pre-generated segs: align in place under data_root
+        segs_root = data_root
 
     # Step 2 is the 2-STAGE forced-alignment recipe (reference
     # annotator/runner.py:691-713, configs/2stage/data_stage{1,2}.yml):
@@ -92,10 +95,18 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
         from speechflow_tpu.scripts import train_aligner
         from speechflow_tpu.training import ExperimentSaver
 
-        cfg_dir = Path(args.aligner_config).parent
+        def _stage_data_cfg(stage: int) -> str:
+            name = f"aligner_data_stage{stage}.yml"
+            # next to the model config, then cwd configs/, then repo configs/
+            for cand in (Path(args.aligner_config).parent / name,
+                         Path("configs") / name,
+                         Path(__file__).parents[2] / "configs" / name):
+                if cand.exists():
+                    return str(cand)
+            raise FileNotFoundError(name)
+
         for stage in (1, 2):
-            data_cfg = args.data_config or str(
-                cfg_dir / f"aligner_data_stage{stage}.yml")
+            data_cfg = args.data_config or _stage_data_cfg(stage)
             train_args = [
                 "-c", args.aligner_config, "-cd", data_cfg,
                 "-vs", *args.value_select, "--data_root", str(segs_root),
