@@ -21,6 +21,7 @@ returns under load.
 import json
 import sys
 import time
+import typing as tp
 from pathlib import Path
 
 import numpy as np
@@ -434,9 +435,13 @@ def build_xtts_stage(value_select: str = "default"):
     return {"xtts_sample": (jax.jit(sample), (x_state, text, sid))}, audio_s
 
 
-def build_gan_step():
+def build_gan_step(snake_taps: tp.Optional[int] = None):
     """One bigvgan GAN micro-step (gen fwd+bwd, disc fwd+bwd, optimizer) at
-    production dims — the program real vocoder training spends months in."""
+    production dims — the program real vocoder training spends months in.
+
+    ``snake_taps`` overrides the anti-alias FIR length (train-time knob; the
+    filters are parameter-free so checkpoints stay compatible with the
+    full-tap inference path — ops/anti_alias.py)."""
     from flax import nnx
 
     from speechflow_tpu.io import Config
@@ -455,6 +460,8 @@ def build_gan_step():
     cfg = Config.create_from_file(REPO / "configs" / "vocoder_bigvgan.yml",
                                   value_select=["default"])
     v = cfg.section("model").to_dict()
+    if snake_taps is not None:
+        v["snake_taps"] = int(snake_taps)
     d = cfg.section("discriminator").to_dict()
     gen = Vocos(VocosParams.create(v), rngs=nnx.Rngs(0))
     disc = VocoderDiscriminator(

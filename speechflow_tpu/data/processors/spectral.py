@@ -74,13 +74,41 @@ def normalize_mel(ds: SpectrogramDataSample, max_abs_value: float = 4.0,
     return ds
 
 
+_CREPE_CACHE: tp.Dict[str, tp.Any] = {}
+
+
 @handler(inputs={"audio_chunk"}, outputs={"pitch"})
 def pitch(ds: SpectrogramDataSample, f0_min: float = 80.0, f0_max: float = 880.0,
-          frame_length: int = 2048, threshold: float = 0.2) -> SpectrogramDataSample:
+          frame_length: int = 2048, threshold: float = 0.2,
+          method: str = "yin",
+          crepe_ckpt: tp.Optional[str] = None) -> SpectrogramDataSample:
+    """``method``: 'yin' (default, host numpy), or 'crepe' — the trainable
+    CREPE-class conv tracker (models/pitch/crepe.py, reference pitch-method
+    selection at spectrogram_processors.py:693-699).  'crepe' needs a
+    ``crepe_ckpt`` trained by models.pitch.train_crepe; the model is loaded
+    once per worker process and runs batched on the worker's jax backend."""
     hop_len = ds.get_param_val("hop_len", ds.hop_len or 256)
-    f0 = np_dsp.yin_f0_np(
-        ds.audio_chunk.waveform, ds.audio_chunk.sr, hop_len, frame_length, f0_min, f0_max, threshold
-    )
+    if method == "crepe":
+        if not crepe_ckpt:
+            raise ValueError("pitch method 'crepe' requires crepe_ckpt")
+        model = _CREPE_CACHE.get(crepe_ckpt)
+        if model is None:
+            from speechflow_tpu.models.pitch import load_crepe
+
+            model = _CREPE_CACHE[crepe_ckpt] = load_crepe(crepe_ckpt)
+        from speechflow_tpu.models.pitch import crepe_f0
+
+        f0 = np.asarray(crepe_f0(model, ds.audio_chunk.waveform,
+                                 sr=ds.audio_chunk.sr, hop_length=hop_len),
+                        np.float32)[0]
+        fmax = float(f0_max)
+        f0 = np.where((f0 < f0_min) | (f0 > fmax), 0.0, f0).astype(np.float32)
+    elif method == "yin":
+        f0 = np_dsp.yin_f0_np(
+            ds.audio_chunk.waveform, ds.audio_chunk.sr, hop_len, frame_length, f0_min, f0_max, threshold
+        )
+    else:
+        raise ValueError(f"unknown pitch method: {method!r}")
     # reconcile to mel frame count (reference: zoom to magnitude frames, :824)
     if ds.magnitude is not None and f0.shape[0] != ds.magnitude.shape[0]:
         fmax = f0.max() if len(f0) else 0.0

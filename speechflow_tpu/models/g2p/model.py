@@ -191,23 +191,41 @@ def _mlp_forward(params: dict, x, win: int, dropout: float = 0.0, key=None):
 
 
 class G2P:
-    """Trained G2P: char/lang vocabularies, chunk inventory, MLP params."""
+    """Trained G2P: char/lang vocabularies, chunk inventory, MLP params.
+
+    ``params`` is one parameter tree or a list of them (a seed ensemble whose
+    log-softmax outputs are averaged — measured −0.03 PER on the mini-corpus
+    held-out set).  ``bigrams`` is an optional (S, T) pair of chunk-class
+    transition log-probability matrices mined from the aligned training
+    lexicon; when present, OOV decoding runs a Viterbi pass over
+    per-position classifier log-probs + ``bigram_weight`` × transition
+    scores instead of independent per-position argmax, restoring the
+    phonotactic coherence a position-independent classifier can't express."""
 
     def __init__(self, cvocab: tp.Dict[str, int], lvocab: tp.Dict[str, int],
                  chunk_symbols: tp.Sequence[tp.Tuple[str, ...]],
-                 params: dict, win: int = 7,
+                 params: tp.Union[dict, tp.Sequence[dict]], win: int = 7,
                  lexicon: tp.Optional[tp.Dict[tp.Tuple[str, str],
-                                              tp.Tuple[str, ...]]] = None):
+                                              tp.Tuple[str, ...]]] = None,
+                 bigrams: tp.Optional[tp.Tuple[np.ndarray, np.ndarray]] = None,
+                 bigram_weight: float = 0.0):
         self.cvocab = dict(cvocab)
         self.lvocab = dict(lvocab)
         self.chunk_symbols = [tuple(c) for c in chunk_symbols]
         self.params = params
         self.win = win
+        self.bigrams = bigrams
+        self.bigram_weight = float(bigram_weight)
         #: exact pronunciations mined at train time; consulted before the
         #: neural decode (the reference parser is likewise lexicon-first)
         self.lexicon = dict(lexicon or {})
         self._cache: tp.Dict[tp.Tuple[str, str], tp.Tuple[str, ...]] = {}
         self._fwd_jit = None
+
+    @property
+    def _params_list(self) -> tp.List[dict]:
+        return list(self.params) if isinstance(self.params, (list, tuple)) \
+            else [self.params]
 
     @property
     def phoneme_inventory(self) -> tp.List[str]:
@@ -231,14 +249,37 @@ class G2P:
         import jax
         import jax.numpy as jnp
 
-        params = jax.tree.map(jnp.asarray, self.params)
+        params = [jax.tree.map(jnp.asarray, p) for p in self._params_list]
         win = self.win
 
         @jax.jit
         def fwd(x):
-            return jnp.argmax(_mlp_forward(params, x, win), -1)
+            # ensemble: average the members' log-softmax (geometric mean of
+            # the predictive distributions)
+            lp = sum(jax.nn.log_softmax(_mlp_forward(p, x, win), -1)
+                     for p in params)
+            return lp / len(params)
 
         return fwd
+
+    def _decode(self, logp: np.ndarray) -> tp.List[int]:
+        """Per-word class decode from (T, C) log-probs: Viterbi over the
+        mined chunk-class bigram when available, argmax otherwise."""
+        if self.bigrams is None or self.bigram_weight <= 0 or len(logp) == 0:
+            return [int(c) for c in logp.argmax(-1)]
+        logS, logT = self.bigrams
+        w = self.bigram_weight
+        score = logp[0] + w * logS
+        back = []
+        for t in range(1, len(logp)):
+            m = score[:, None] + w * logT            # (prev, next)
+            back.append(m.argmax(0))
+            score = m.max(0) + logp[t]
+        path = [int(score.argmax())]
+        for bk in reversed(back):
+            path.append(int(bk[path[-1]]))
+        path.reverse()
+        return path
 
     def predict(self, words: tp.Sequence[str], lang: str = "EN",
                 use_lexicon: bool = True) -> tp.List[tp.Tuple[str, ...]]:
@@ -263,13 +304,13 @@ class G2P:
             # pad to a power-of-two bucket so the jit compiles once per bucket
             bucket = 1 << max(4, int(len(flat) - 1).bit_length())
             pad = np.zeros((bucket - len(flat), self.win + 1), np.int32)
-            cls = np.asarray(self._fwd_jit(jnp.asarray(
+            logp = np.asarray(self._fwd_jit(jnp.asarray(
                 np.concatenate([flat, pad]))))[: len(flat)]
             ofs = 0
             for w, f in zip(todo, feats):
                 pron: tp.List[str] = []
-                for c in cls[ofs: ofs + len(f)]:
-                    pron.extend(self.chunk_symbols[int(c)])
+                for c in self._decode(logp[ofs: ofs + len(f)]):
+                    pron.extend(self.chunk_symbols[c])
                 self._cache[(lang, w)] = tuple(pron)
                 ofs += len(f)
         out = []
@@ -287,7 +328,8 @@ class G2P:
             pickle.dump({"cvocab": self.cvocab, "lvocab": self.lvocab,
                          "chunk_symbols": self.chunk_symbols,
                          "params": self.params, "win": self.win,
-                         "lexicon": self.lexicon}, f)
+                         "lexicon": self.lexicon, "bigrams": self.bigrams,
+                         "bigram_weight": self.bigram_weight}, f)
         return path
 
     @classmethod
@@ -295,7 +337,9 @@ class G2P:
         with open(path, "rb") as f:
             tree = pickle.load(f)
         return cls(tree["cvocab"], tree["lvocab"], tree["chunk_symbols"],
-                   tree["params"], tree.get("win", 7), tree.get("lexicon"))
+                   tree["params"], tree.get("win", 7), tree.get("lexicon"),
+                   bigrams=tree.get("bigrams"),
+                   bigram_weight=tree.get("bigram_weight", 0.0))
 
 
 def train_g2p(
@@ -310,13 +354,18 @@ def train_g2p(
     weight_decay: float = 1e-3,
     align_iters: int = 3,
     seed: int = 0,
+    ensemble: int = 3,
+    bigram_weight: float = 0.5,
+    bigram_smooth: float = 0.1,
 ) -> G2P:
     """Align the lexicon, then train the window classifier.
 
     Training is full-batch (a corpus lexicon is a few thousand positions) —
     one jitted AdamW step in a host loop; the mini-corpus lexicon trains in
-    ~30 s even on a single CPU core and reaches held-out PER ~0.27 vs the
-    seq2seq's 0.86 (measured, docs/history.md round 3)."""
+    ~30 s per ensemble member even on a single CPU core.  The shipped recipe
+    (seed ensemble + chunk-bigram Viterbi decode) reaches held-out PER ~0.15
+    vs 0.27 for the single-model argmax and 0.86 for a seq2seq transducer at
+    this data scale (measured, docs/history.md rounds 3-4)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -331,37 +380,37 @@ def train_g2p(
 
     chunk_ids: tp.Dict[tp.Tuple[str, ...], int] = {}
     X, Y = [], []
+    class_seqs: tp.List[tp.List[int]] = []  # per aligned word, for bigrams
     for (l, w, _), chunks in zip(lexicon, aligns):
         if chunks is None:
             continue
         padded = BOW * half + w + EOW * half
+        seq = []
         for i, ch in enumerate(chunks):
             X.append([cvocab[padded[i + k]] for k in range(win)]
                      + [lvocab[l.upper()]])
-            Y.append(chunk_ids.setdefault(ch, len(chunk_ids)))
+            cid = chunk_ids.setdefault(ch, len(chunk_ids))
+            Y.append(cid)
+            seq.append(cid)
+        class_seqs.append(seq)
     if not X:
         raise ValueError("no alignable entries in the lexicon")
     X = np.asarray(X, np.int32)
     Y = np.asarray(Y, np.int32)
 
     NC, NL, NCH = len(cvocab), len(lvocab), len(chunk_ids)
-    r = np.random.default_rng(seed)
 
-    def mat(fan_in, *shape):
-        return jnp.asarray(r.standard_normal(shape) / np.sqrt(fan_in), jnp.float32)
+    # chunk-class bigram (add-k smoothed log-probs) for the Viterbi decode
+    S = np.full(NCH, bigram_smooth, np.float64)
+    T = np.full((NCH, NCH), bigram_smooth, np.float64)
+    for seq in class_seqs:
+        S[seq[0]] += 1.0
+        for a, b in zip(seq, seq[1:]):
+            T[a, b] += 1.0
+    logS = np.log(S / S.sum()).astype(np.float32)
+    logT = np.log(T / T.sum(1, keepdims=True)).astype(np.float32)
 
-    params = {
-        "ce": 0.1 * mat(1, NC, char_dim),
-        "le": 0.1 * mat(1, NL, char_dim),
-        "w1": mat(win * char_dim, win * char_dim + char_dim, hidden),
-        "b1": jnp.zeros(hidden),
-        "w2": mat(hidden, hidden, hidden),
-        "b2": jnp.zeros(hidden),
-        "wo": mat(hidden, hidden, NCH),
-        "bo": jnp.zeros(NCH),
-    }
     tx = optax.adamw(lr, weight_decay=weight_decay)
-    opt_state = tx.init(params)
 
     @jax.jit
     def step(p, o, x, y, k):
@@ -376,15 +425,37 @@ def train_g2p(
         return optax.apply_updates(p, upd), o, loss
 
     jx, jy = jnp.asarray(X), jnp.asarray(Y)
-    key = jax.random.PRNGKey(seed)
-    for e in range(steps):
-        params, opt_state, _ = step(params, opt_state, jx, jy,
-                                    jax.random.fold_in(key, e))
+    members: tp.List[dict] = []
+    for m in range(max(1, ensemble)):
+        mseed = seed + 1000 * m
+        r = np.random.default_rng(mseed)
+
+        def mat(fan_in, *shape):
+            return jnp.asarray(r.standard_normal(shape) / np.sqrt(fan_in),
+                               jnp.float32)
+
+        params = {
+            "ce": 0.1 * mat(1, NC, char_dim),
+            "le": 0.1 * mat(1, NL, char_dim),
+            "w1": mat(win * char_dim, win * char_dim + char_dim, hidden),
+            "b1": jnp.zeros(hidden),
+            "w2": mat(hidden, hidden, hidden),
+            "b2": jnp.zeros(hidden),
+            "wo": mat(hidden, hidden, NCH),
+            "bo": jnp.zeros(NCH),
+        }
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(mseed)
+        for e in range(steps):
+            params, opt_state, _ = step(params, opt_state, jx, jy,
+                                        jax.random.fold_in(key, e))
+        members.append(jax.tree.map(np.asarray, params))
 
     chunk_symbols = [()] * NCH
     for ch, i in chunk_ids.items():
         chunk_symbols[i] = ch
     g2p = G2P(cvocab, lvocab, chunk_symbols,
-              jax.tree.map(np.asarray, params), win=win)
+              members if len(members) > 1 else members[0], win=win,
+              bigrams=(logS, logT), bigram_weight=bigram_weight)
     g2p.lexicon = {(l.upper(), w): pron for l, w, pron in lexicon}
     return g2p

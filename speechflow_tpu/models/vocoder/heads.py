@@ -61,25 +61,40 @@ class AntiAliasedSnake(nnx.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from speechflow_tpu.ops.anti_alias import anti_alias_snake
 
-        return anti_alias_snake(x, self.alpha[...], self.beta[...])
+        return anti_alias_snake(x, self.alpha[...], self.beta[...], self.taps)
+
+    def from_shared(self, y_even: jnp.ndarray, y_odd: jnp.ndarray) -> jnp.ndarray:
+        """Apply snake + decimation FIR to a precomputed (shared) stage-1
+        pair — see ops.anti_alias.aa_upsample_fir: the interpolation FIR is
+        parameter-free, so MRF branches consuming the same input share it."""
+        from speechflow_tpu.ops.anti_alias import aa_snake_downsample
+
+        return aa_snake_downsample(y_even, y_odd, self.alpha[...],
+                                   self.beta[...], self.taps)
 
 
 class ResBlock(nnx.Module):
     """AMP residual block: dilated convs with anti-aliased snake activations."""
 
     def __init__(self, channels: int, kernel_size: int = 3,
-                 dilations: tp.Sequence[int] = (1, 3, 5), rngs: nnx.Rngs = None):
+                 dilations: tp.Sequence[int] = (1, 3, 5), taps: int = 12,
+                 rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
         self.convs = nnx.List([])
         self.acts = nnx.List([])
         for d in dilations:
             self.convs.append(nnx.Conv(channels, channels, (kernel_size,),
                                        kernel_dilation=(d,), padding="SAME", rngs=rngs))
-            self.acts.append(AntiAliasedSnake(channels, rngs=rngs))
+            self.acts.append(AntiAliasedSnake(channels, taps=taps, rngs=rngs))
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        for act, conv in zip(self.acts, self.convs):
-            x = x + conv(act(x))
+    def __call__(self, x: jnp.ndarray, shared_stage1=None) -> jnp.ndarray:
+        """``shared_stage1``: precomputed interpolation-FIR phases of ``x``
+        (shared across the MRF branches of a stage — bit-exact reuse)."""
+        for i, (act, conv) in enumerate(zip(self.acts, self.convs)):
+            a = act.from_shared(*shared_stage1) if (i == 0 and
+                                                    shared_stage1 is not None) \
+                else act(x)
+            x = x + conv(a)
         return x
 
 
@@ -96,30 +111,39 @@ class SnakeUpsampleHead(nnx.Module):
                  upsample_kernel_sizes: tp.Optional[tp.Sequence[int]] = None,
                  channels: int = 256,
                  resblock_kernel_sizes: tp.Sequence[int] = (3,),
+                 taps: int = 12,
                  rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
         upsample_kernel_sizes = upsample_kernel_sizes or [2 * r for r in upsample_rates]
         self.pre = nnx.Conv(dim, channels, (7,), padding="SAME", rngs=rngs)
         self.ups = nnx.List([])
         self.resblocks = nnx.List([])
+        self.taps = taps
         ch = channels
         for r, k in zip(upsample_rates, upsample_kernel_sizes):
             self.ups.append(nnx.ConvTranspose(ch, ch // 2, (k,), strides=(r,),
                                               padding="SAME", rngs=rngs))
             ch = ch // 2
             self.resblocks.append(nnx.List([
-                ResBlock(ch, ks, rngs=rngs) for ks in resblock_kernel_sizes]))
-        self.post_act = AntiAliasedSnake(ch, rngs=rngs)
+                ResBlock(ch, ks, taps=taps, rngs=rngs)
+                for ks in resblock_kernel_sizes]))
+        self.post_act = AntiAliasedSnake(ch, taps=taps, rngs=rngs)
         self.post = nnx.Conv(ch, 1, (7,), padding="SAME", rngs=rngs)
         self.total_upsample = int(np.prod(upsample_rates))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from speechflow_tpu.ops.anti_alias import aa_upsample_fir
+
         x = self.pre(x)
         for up, res_group in zip(self.ups, self.resblocks):
             x = up(x)
-            acc = res_group[0](x)
+            # the interpolation FIR of each branch's first activation sees
+            # the same x: compute it once for the whole MRF group (exact;
+            # saves 2 of the 18 FIR passes per 3-branch stage)
+            s1 = aa_upsample_fir(x, self.taps) if len(res_group) > 1 else None
+            acc = res_group[0](x, shared_stage1=s1)
             for res in res_group[1:]:
-                acc = acc + res(x)
+                acc = acc + res(x, shared_stage1=s1)
             x = acc / len(res_group)
         x = self.post_act(x)
         x = self.post(x)

@@ -60,6 +60,10 @@ class VocosParams(BaseModelParams):
     upsample_rates: tp.Tuple[int, ...] = (8, 8, 2, 2)
     upsample_channels: int = 256
     resblock_kernel_sizes: tp.Tuple[int, ...] = (3,)  # MRF; bigvgan: (3, 7, 11)
+    # FIR length of the anti-aliased snake (both interp + decim filters).
+    # Parameter-free, so train-time recipes may reduce it for throughput and
+    # still infer at the full 12 taps from the same checkpoint.
+    snake_taps: int = 12
     mdct_frame_len: int = 512
     style_dim: int = 128                   # NSF AdaIN style-embedding dim
     n_harmonics: int = 8                   # NSF sine-source harmonics
@@ -107,7 +111,8 @@ class Vocos(nnx.Module):
         elif p.head == "snake_upsample":
             self.head = SnakeUpsampleHead(
                 bdim, p.upsample_rates, channels=p.upsample_channels,
-                resblock_kernel_sizes=p.resblock_kernel_sizes, rngs=rngs)
+                resblock_kernel_sizes=p.resblock_kernel_sizes,
+                taps=p.snake_taps, rngs=rngs)
         elif p.head == "imdct_symexp":
             self.head = IMDCTSymExpHead(bdim, p.mdct_frame_len, rngs=rngs)
         elif p.head == "imdct_cos":

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["kaiser_sinc_filter", "anti_alias_snake_xla", "anti_alias_snake_pallas",
-           "anti_alias_snake"]
+           "anti_alias_snake", "aa_upsample_fir", "aa_snake_downsample"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -68,17 +68,12 @@ def _snake(x, alpha, beta):
     return x + (1.0 / (b + jnp.asarray(1e-9, x.dtype))) * jnp.sin(a * x) ** 2
 
 
-def anti_alias_snake_xla(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
-                         taps: int = 12) -> jnp.ndarray:
-    """Polyphase composition of up2 + FIR -> snake -> FIR -> down2. (B, T, C).
-
-    Mathematically identical to materializing the 2x-upsampled signal and
-    running two depthwise SAME FIRs (the module docstring's derivation), but
-    expressed as static shifted adds at INPUT rate: depthwise convs with
-    ``feature_group_count=C`` lower poorly on TPU, and the 2T intermediate
-    is pure bandwidth. Each phase is taps/2 scaled shifts of x, which XLA
-    fuses into a couple of elementwise passes.
-    """
+def aa_upsample_fir(x: jnp.ndarray, taps: int = 12
+                    ) -> tp.Tuple[jnp.ndarray, jnp.ndarray]:
+    """Polyphase stage 1: 2x upsample + FIR, as (even, odd) phase signals at
+    input rate.  Parameter-free — in an MRF group every branch's FIRST
+    activation consumes the same stage input, so this can be computed once
+    and shared across branches (exact, not an approximation)."""
     filt = kaiser_sinc_filter(taps=taps)  # host-side floats -> inline scalars
     t = x.shape[1]
     p = (taps - 1) // 2  # XLA SAME pad_left for the equivalent conv
@@ -90,7 +85,6 @@ def anti_alias_snake_xla(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
     def sh(v, s):
         return jax.lax.dynamic_slice_in_dim(v, m + s, t, axis=1)
 
-    # stage 1 (upsample + FIR at 2x gain), per output phase
     y_even = None
     y_odd = None
     for k in range(taps):
@@ -101,11 +95,25 @@ def anti_alias_snake_xla(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
         else:
             part = w * sh(xp, (k - p + 1) // 2)
             y_odd = part if y_odd is None else y_odd + part
+    return y_even, y_odd
+
+
+def aa_snake_downsample(y_even: jnp.ndarray, y_odd: jnp.ndarray,
+                        alpha: jnp.ndarray, beta: jnp.ndarray,
+                        taps: int = 12) -> jnp.ndarray:
+    """Polyphase stages 2+3: snake-beta on both phases, then FIR +
+    2x decimation folding the phases back to input rate."""
+    filt = kaiser_sinc_filter(taps=taps)
+    t = y_even.shape[1]
+    p = (taps - 1) // 2
+    m = taps // 2 + 1
+
+    def sh(v, s):
+        return jax.lax.dynamic_slice_in_dim(v, m + s, t, axis=1)
 
     z_even = _snake(y_even, alpha, beta)
     z_odd = _snake(y_odd, alpha, beta)
 
-    # stage 2 FIR + decimation, folding both phases back to input rate
     zep = jnp.pad(z_even, ((0, 0), (m, m), (0, 0)))
     zop = jnp.pad(z_odd, ((0, 0), (m, m), (0, 0)))
     out = None
@@ -117,6 +125,21 @@ def anti_alias_snake_xla(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
             part = w * sh(zop, (k - p - 1) // 2)
         out = part if out is None else out + part
     return out
+
+
+def anti_alias_snake_xla(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
+                         taps: int = 12) -> jnp.ndarray:
+    """Polyphase composition of up2 + FIR -> snake -> FIR -> down2. (B, T, C).
+
+    Mathematically identical to materializing the 2x-upsampled signal and
+    running two depthwise SAME FIRs (the module docstring's derivation), but
+    expressed as static shifted adds at INPUT rate: depthwise convs with
+    ``feature_group_count=C`` lower poorly on TPU, and the 2T intermediate
+    is pure bandwidth. Each phase is taps/2 scaled shifts of x, which XLA
+    fuses into a couple of elementwise passes.
+    """
+    y_even, y_odd = aa_upsample_fir(x, taps)
+    return aa_snake_downsample(y_even, y_odd, alpha, beta, taps)
 
 
 def _aa_tile(x, alpha, beta, t_valid_lo, t_valid_hi, *, taps: int, halo: int,
@@ -227,9 +250,27 @@ def anti_alias_snake_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarra
     return out[:, :t, :c]
 
 
-@jax.custom_vjp
-def anti_alias_snake(x, alpha, beta):
-    """Anti-aliased snake with custom VJP.
+@functools.lru_cache(maxsize=None)
+def _make_anti_alias_snake(taps: int):
+    @jax.custom_vjp
+    def f(x, alpha, beta):
+        return anti_alias_snake_xla(x, alpha, beta, taps)
+
+    def fwd(x, alpha, beta):
+        return f(x, alpha, beta), (x, alpha, beta)
+
+    def bwd(res, g):
+        x, alpha, beta = res
+        _, vjp = jax.vjp(
+            lambda *a: anti_alias_snake_xla(*a, taps=taps), x, alpha, beta)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def anti_alias_snake(x, alpha, beta, taps: int = 12):
+    """Anti-aliased snake with custom VJP (one cached closure per tap count).
 
     The production default is the polyphase XLA composition: grouped
     (feature_group_count=C) depthwise convs lower poorly on TPU — at the
@@ -237,18 +278,13 @@ def anti_alias_snake(x, alpha, beta):
     measured ~1.3 s on v5e vs ~15 ms for the shifted-add polyphase form
     (the whole flagship snake head: 640 -> 253 ms). The Pallas tile kernel
     remains as a validated correctness-equivalent alternative.
+
+    ``taps`` (static) sets the FIR length of both the interpolation and the
+    decimation filter; the op's cost is ~linear in it (2*taps shifted FMAs
+    at the 2x rate).  The filters are parameter-free, so a model trained at
+    a reduced tap count loads and runs at the full 12 taps for inference
+    unchanged — the knob trades train-time stopband attenuation (-41 dB
+    peak at 12 taps, -27 dB at 8, -17 dB at 6; kaiser_sinc_filter) for
+    training throughput.
     """
-    return anti_alias_snake_xla(x, alpha, beta)
-
-
-def _aas_fwd(x, alpha, beta):
-    return anti_alias_snake(x, alpha, beta), (x, alpha, beta)
-
-
-def _aas_bwd(res, g):
-    x, alpha, beta = res
-    _, vjp = jax.vjp(anti_alias_snake_xla, x, alpha, beta)
-    return vjp(g)
-
-
-anti_alias_snake.defvjp(_aas_fwd, _aas_bwd)
+    return _make_anti_alias_snake(int(taps))(x, alpha, beta)

@@ -39,7 +39,7 @@ from speechflow_tpu.utils.init import filter_kwargs
 LOGGER = logging.getLogger("speechflow_tpu")
 
 
-def train(model_cfg, data_cfg, saver) -> str:
+def train(model_cfg, data_cfg, saver, callbacks=()) -> str:
     pipeline, bundle = build_data(data_cfg, model_cfg)
     try:
         m_dict = model_config_from_info(model_cfg, pipeline)
@@ -91,7 +91,7 @@ def train(model_cfg, data_cfg, saver) -> str:
         )
         apply_resume_warmstart(trainer, model_cfg)
         last = trainer.fit(bundle["train"],
-                           bundle.loaders.get("test"))
+                           bundle.loaders.get("test"), callbacks=callbacks)
         LOGGER.info("training done: %s", last)
         return str(saver.expr_path)
     finally:

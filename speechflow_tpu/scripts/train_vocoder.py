@@ -39,7 +39,7 @@ from speechflow_tpu.utils.init import filter_kwargs
 LOGGER = logging.getLogger("speechflow_tpu")
 
 
-def train(model_cfg, data_cfg, saver) -> str:
+def train(model_cfg, data_cfg, saver, callbacks=()) -> str:
     pipeline, bundle = build_data(data_cfg, model_cfg)
     try:
         params = VocosParams.create(model_cfg.section("model").to_dict())
@@ -97,7 +97,8 @@ def train(model_cfg, data_cfg, saver) -> str:
         disc_warmstart = model_cfg.get_path("warmstart.disc_from")
         if disc_warmstart:
             gan.warmstart_discriminator(disc_warmstart)
-        last = gan.fit(bundle["train"], bundle.loaders.get("test"))
+        last = gan.fit(bundle["train"], bundle.loaders.get("test"),
+                       callbacks=callbacks)
         LOGGER.info("vocoder training done: %s", last)
         return str(saver.expr_path)
     finally:

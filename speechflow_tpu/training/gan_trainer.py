@@ -105,8 +105,15 @@ class GANTrainer:
             disc_opt.update(disc, grads)
             return total, losses
 
+        @nnx.jit
+        def _val_fwd(gen, inputs):
+            # validation must run jitted: eager complex math (ISTFT heads)
+            # is UNIMPLEMENTED on the TPU backend outside XLA
+            return gen(inputs)
+
         self._gen_step = _gen_step
         self._disc_step = _disc_step
+        self._val_fwd = _val_fwd
 
     def _place(self, tree):
         if self.mesh is not None:
@@ -155,7 +162,7 @@ class GANTrainer:
 
         inputs, targets = self.batch_processor(batch)
         inputs, targets = self._place(inputs), self._place(targets)
-        out = self.generator(inputs)
+        out = self._val_fwd(self.generator, inputs)
         if isinstance(out, tuple):
             out = out[0]
         fake = np.asarray(out, np.float32)
@@ -205,13 +212,18 @@ class GANTrainer:
                 agg.setdefault(k, []).append(v)
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
-    def fit(self, train_loader, val_loader=None) -> tp.Dict[str, float]:
+    def fit(self, train_loader, val_loader=None,
+            callbacks: tp.Sequence[tp.Callable] = ()) -> tp.Dict[str, float]:
         get_next = train_loader.next_batch if hasattr(train_loader, "next_batch") else iter(train_loader).__next__
         last = {}
         t0 = time.time()
         while self.global_step < self.cfg.max_steps:
             last = self.training_step(get_next())
             s = self.global_step
+            for cb in callbacks:
+                # same contract as Trainer.fit: cb(self, last) with lazy
+                # device-scalar values — callbacks opt into the sync
+                cb(self, last)
             if s % self.cfg.log_every == 0:
                 LOGGER.info("gan step %d: %s (%.2f it/s)", s,
                             {k: round(float(v), 4) for k, v in last.items()},
