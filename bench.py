@@ -435,7 +435,8 @@ def build_xtts_stage(value_select: str = "default"):
     return {"xtts_sample": (jax.jit(sample), (x_state, text, sid))}, audio_s
 
 
-def build_gan_step(snake_taps: tp.Optional[int] = None):
+def build_gan_step(snake_taps: tp.Optional[int] = None,
+                   snake_remat: tp.Optional[bool] = None):
     """One bigvgan GAN micro-step (gen fwd+bwd, disc fwd+bwd, optimizer) at
     production dims — the program real vocoder training spends months in.
 
@@ -462,6 +463,8 @@ def build_gan_step(snake_taps: tp.Optional[int] = None):
     v = cfg.section("model").to_dict()
     if snake_taps is not None:
         v["snake_taps"] = int(snake_taps)
+    if snake_remat is not None:
+        v["snake_remat"] = bool(snake_remat)
     d = cfg.section("discriminator").to_dict()
     gen = Vocos(VocosParams.create(v), rngs=nnx.Rngs(0))
     disc = VocoderDiscriminator(

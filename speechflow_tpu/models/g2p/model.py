@@ -194,8 +194,9 @@ class G2P:
     """Trained G2P: char/lang vocabularies, chunk inventory, MLP params.
 
     ``params`` is one parameter tree or a list of them (a seed ensemble whose
-    log-softmax outputs are averaged — measured −0.03 PER on the mini-corpus
-    held-out set).  ``bigrams`` is an optional (S, T) pair of chunk-class
+    log-softmax outputs are averaged — measured −0.01 PER / +0.03 word
+    exact-match on mini-corpus CV).  ``bigrams`` is an optional (S, T) pair
+    of chunk-class
     transition log-probability matrices mined from the aligned training
     lexicon; when present, OOV decoding runs a Viterbi pass over
     per-position classifier log-probs + ``bigram_weight`` × transition
@@ -349,23 +350,27 @@ def train_g2p(
     hidden: int = 384,
     dropout: float = 0.3,
     label_smooth: float = 0.1,
-    steps: int = 600,
+    steps: int = 1200,
     lr: float = 3e-3,
     weight_decay: float = 1e-3,
     align_iters: int = 3,
     seed: int = 0,
     ensemble: int = 3,
-    bigram_weight: float = 0.5,
+    bigram_weight: float = 0.0,
     bigram_smooth: float = 0.1,
 ) -> G2P:
     """Align the lexicon, then train the window classifier.
 
     Training is full-batch (a corpus lexicon is a few thousand positions) —
     one jitted AdamW step in a host loop; the mini-corpus lexicon trains in
-    ~30 s per ensemble member even on a single CPU core.  The shipped recipe
-    (seed ensemble + chunk-bigram Viterbi decode) reaches held-out PER ~0.15
-    vs 0.27 for the single-model argmax and 0.86 for a seq2seq transducer at
-    this data scale (measured, docs/history.md rounds 3-4)."""
+    ~30 s per ensemble member even on a single CPU core.  Recipe choices are
+    measured (3-split CV on the mini corpus, docs/history.md round 4): the
+    3-seed ensemble + 1200 steps reads PER 0.229±0.006 / word exact-match
+    0.40 vs 0.251 / 0.36 for the round-3 single model, and 0.86 for a
+    seq2seq transducer at this data scale.  The chunk-bigram Viterbi decode
+    is implemented but ships OFF (bigram_weight=0): at a ~230-word lexicon
+    the bigram is too sparse and *hurts* (PER 0.29 measured) — revisit on
+    corpora with >10k word types."""
     import jax
     import jax.numpy as jnp
     import optax

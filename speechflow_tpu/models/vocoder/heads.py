@@ -53,15 +53,18 @@ class AntiAliasedSnake(nnx.Module):
     composition by default; a validated Pallas tile kernel exists alongside).
     """
 
-    def __init__(self, channels: int, taps: int = 12, rngs: nnx.Rngs = None):
+    def __init__(self, channels: int, taps: int = 12, remat: bool = True,
+                 rngs: nnx.Rngs = None):
         self.alpha = nnx.Param(jnp.zeros((channels,)))
         self.beta = nnx.Param(jnp.zeros((channels,)))
         self.taps = taps
+        self.remat = remat
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from speechflow_tpu.ops.anti_alias import anti_alias_snake
 
-        return anti_alias_snake(x, self.alpha[...], self.beta[...], self.taps)
+        return anti_alias_snake(x, self.alpha[...], self.beta[...], self.taps,
+                                remat=self.remat)
 
     def from_shared(self, y_even: jnp.ndarray, y_odd: jnp.ndarray) -> jnp.ndarray:
         """Apply snake + decimation FIR to a precomputed (shared) stage-1
@@ -78,14 +81,15 @@ class ResBlock(nnx.Module):
 
     def __init__(self, channels: int, kernel_size: int = 3,
                  dilations: tp.Sequence[int] = (1, 3, 5), taps: int = 12,
-                 rngs: nnx.Rngs = None):
+                 remat: bool = True, rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
         self.convs = nnx.List([])
         self.acts = nnx.List([])
         for d in dilations:
             self.convs.append(nnx.Conv(channels, channels, (kernel_size,),
                                        kernel_dilation=(d,), padding="SAME", rngs=rngs))
-            self.acts.append(AntiAliasedSnake(channels, taps=taps, rngs=rngs))
+            self.acts.append(AntiAliasedSnake(channels, taps=taps, remat=remat,
+                                              rngs=rngs))
 
     def __call__(self, x: jnp.ndarray, shared_stage1=None) -> jnp.ndarray:
         """``shared_stage1``: precomputed interpolation-FIR phases of ``x``
@@ -111,7 +115,7 @@ class SnakeUpsampleHead(nnx.Module):
                  upsample_kernel_sizes: tp.Optional[tp.Sequence[int]] = None,
                  channels: int = 256,
                  resblock_kernel_sizes: tp.Sequence[int] = (3,),
-                 taps: int = 12,
+                 taps: int = 12, remat: bool = True,
                  rngs: nnx.Rngs = None):
         rngs = rngs or nnx.Rngs(0)
         upsample_kernel_sizes = upsample_kernel_sizes or [2 * r for r in upsample_rates]
@@ -125,9 +129,9 @@ class SnakeUpsampleHead(nnx.Module):
                                               padding="SAME", rngs=rngs))
             ch = ch // 2
             self.resblocks.append(nnx.List([
-                ResBlock(ch, ks, taps=taps, rngs=rngs)
+                ResBlock(ch, ks, taps=taps, remat=remat, rngs=rngs)
                 for ks in resblock_kernel_sizes]))
-        self.post_act = AntiAliasedSnake(ch, taps=taps, rngs=rngs)
+        self.post_act = AntiAliasedSnake(ch, taps=taps, remat=remat, rngs=rngs)
         self.post = nnx.Conv(ch, 1, (7,), padding="SAME", rngs=rngs)
         self.total_upsample = int(np.prod(upsample_rates))
 

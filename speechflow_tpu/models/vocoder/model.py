@@ -64,6 +64,11 @@ class VocosParams(BaseModelParams):
     # Parameter-free, so train-time recipes may reduce it for throughput and
     # still infer at the full 12 taps from the same checkpoint.
     snake_taps: int = 12
+    # False = let XLA save the anti-alias phase intermediates for backward
+    # instead of the custom-VJP recompute: faster GAN training at chunk
+    # sizes, more activation memory at long-utterance inference (which has
+    # no backward, so the flag only matters under grad)
+    snake_remat: bool = True
     mdct_frame_len: int = 512
     style_dim: int = 128                   # NSF AdaIN style-embedding dim
     n_harmonics: int = 8                   # NSF sine-source harmonics
@@ -112,7 +117,7 @@ class Vocos(nnx.Module):
             self.head = SnakeUpsampleHead(
                 bdim, p.upsample_rates, channels=p.upsample_channels,
                 resblock_kernel_sizes=p.resblock_kernel_sizes,
-                taps=p.snake_taps, rngs=rngs)
+                taps=p.snake_taps, remat=p.snake_remat, rngs=rngs)
         elif p.head == "imdct_symexp":
             self.head = IMDCTSymExpHead(bdim, p.mdct_frame_len, rngs=rngs)
         elif p.head == "imdct_cos":

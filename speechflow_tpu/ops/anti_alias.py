@@ -269,8 +269,17 @@ def _make_anti_alias_snake(taps: int):
     return f
 
 
-def anti_alias_snake(x, alpha, beta, taps: int = 12):
+def anti_alias_snake(x, alpha, beta, taps: int = 12, remat: bool = True):
     """Anti-aliased snake with custom VJP (one cached closure per tap count).
+
+    ``remat=True`` (default) recomputes the forward in the backward pass
+    (the custom VJP saves only (x, alpha, beta)) — right for inference-scale
+    activations.  ``remat=False`` lets XLA autodiff save the phase
+    intermediates instead; measured on v5e at the flagship BigVGAN GAN step
+    it is only ~+3% (1.518 -> 1.566 steps/s; +taps 8: 1.745) — the backward
+    is bound by intrinsic gradient work, not by the recompute (decomposition
+    in docs/history.md round 4) — but the knob is free at training chunk
+    sizes where the extra activation memory is negligible.
 
     The production default is the polyphase XLA composition: grouped
     (feature_group_count=C) depthwise convs lower poorly on TPU — at the
@@ -287,4 +296,6 @@ def anti_alias_snake(x, alpha, beta, taps: int = 12):
     peak at 12 taps, -27 dB at 8, -17 dB at 6; kaiser_sinc_filter) for
     training throughput.
     """
+    if not remat:
+        return anti_alias_snake_xla(x, alpha, beta, taps)
     return _make_anti_alias_snake(int(taps))(x, alpha, beta)

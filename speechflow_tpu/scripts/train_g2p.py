@@ -9,7 +9,7 @@ parity with the reference's external multilingual_text_parser
 
 Usage:
   python -m speechflow_tpu.scripts.train_g2p --data-root <SEGS dir> \
-      --output experiments/my_tts/g2p.pkl [--holdout 0.1] [--steps 600]
+      --output experiments/my_tts/g2p.pkl [--holdout 0.1] [--steps 1200]
 """
 
 from __future__ import annotations
@@ -23,7 +23,7 @@ import numpy as np
 LOGGER = logging.getLogger("speechflow_tpu")
 
 
-def train_g2p_artifact(data_root, out_path, steps: int = 600,
+def train_g2p_artifact(data_root, out_path, steps: int = 1200,
                        holdout: float = 0.0, seed: int = 0,
                        **train_kwargs) -> str:
     """Mine the corpus at ``data_root``, train, save ``g2p.pkl`` to
@@ -75,7 +75,7 @@ def main(argv=None) -> str:
                     help="output pickle path (a directory gets /g2p.pkl)")
     ap.add_argument("--holdout", type=float, default=0.1,
                     help="fraction of word types held out for the PER report")
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--hidden", type=int, default=384)
     ap.add_argument("--dropout", type=float, default=0.3)
     ap.add_argument("--seed", type=int, default=0)

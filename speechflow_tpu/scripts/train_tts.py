@@ -80,7 +80,8 @@ def train(model_cfg, data_cfg, saver, callbacks=()) -> str:
                 train_g2p_artifact(
                     data_cfg.get_path("dirs.data_root"),
                     saver.expr_path / "g2p.pkl",
-                    steps=int(model_cfg.get_path("experiment.g2p_steps", 600)))
+                    steps=int(model_cfg.get_path("experiment.g2p_steps", 1200)),
+                    ensemble=int(model_cfg.get_path("experiment.g2p_ensemble", 3)))
             except Exception as e:  # G2P failure must never kill training
                 LOGGER.warning("G2P training skipped: %s", e)
 

@@ -97,14 +97,16 @@ def test_per_metric():
 
 @pytest.mark.slow
 def test_heldout_per_beats_threshold(lexicon):
-    """Full-budget training generalizes: held-out PER ≤ 0.45 (measured 0.27
-    on this corpus/seed; threshold leaves seed margin).  The char fallback's
-    PER is ~1.0 by construction — every emitted symbol is a letter."""
+    """Full-budget training generalizes: held-out PER ≤ 0.32 and word
+    exact-match ≥ 0.24 (measured 0.24 / 0.40 on the canonical split with the
+    shipped recipe — 3-seed ensemble, 1200 steps, CV record 0.229±0.006;
+    thresholds leave seed margin).  The char fallback's PER is ~1.0 by
+    construction — every emitted symbol is a letter."""
     rng = np.random.default_rng(0)
     idx = rng.permutation(len(lexicon))
     held = [lexicon[i] for i in idx[:25]]
     train = [lexicon[i] for i in idx[25:]]
-    g2p = train_g2p(train, steps=600)
+    g2p = train_g2p(train)  # shipped defaults ARE the recipe under test
     pers = []
     for lang in sorted({h[0] for h in held}):
         words = [w for hl, w, _ in held if hl == lang]
@@ -112,4 +114,6 @@ def test_heldout_per_beats_threshold(lexicon):
         pers += [phoneme_error_rate(preds[w], pron)
                  for hl, w, pron in held if hl == lang]
     per = float(np.mean(pers))
-    assert per <= 0.45, f"held-out PER {per:.3f} regressed past 0.45"
+    exact = float(np.mean([p == 0.0 for p in pers]))
+    assert per <= 0.32, f"held-out PER {per:.3f} regressed past 0.32"
+    assert exact >= 0.24, f"word exact-match {exact:.2f} regressed past 0.24"

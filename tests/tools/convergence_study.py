@@ -29,6 +29,7 @@ Run (writes docs/convergence.json):
 from __future__ import annotations
 
 import json
+import sys
 import time
 import typing as tp
 from pathlib import Path
@@ -36,6 +37,8 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent.parent
+if str(REPO) not in sys.path:  # runnable as a script from anywhere
+    sys.path.insert(0, str(REPO))
 RECORD_PATH = REPO / "docs" / "convergence.json"
 MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
 
