@@ -136,6 +136,8 @@ def run_acoustic(out_dir: Path, steps: int = ACOUSTIC_STEPS) -> dict:
     mpath = out_dir / "tts_model.yml"
     cfg.to_file(mpath)
 
+    cfg.set_path("data_loaders.n_workers", 4)  # YIN/feature prep off the hot path
+    cfg.to_file(mpath)
     args = train_arguments().parse_args(
         ["-c", str(mpath), "-cd", str(REPO / "configs" / "tts_data_24khz.yml"),
          "-vs", "debug", "--data_root", MINI])
