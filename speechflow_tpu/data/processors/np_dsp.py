@@ -19,7 +19,7 @@ from speechflow_tpu.ops.mel import MIN_LEVEL_DB, mel_filterbank
 __all__ = [
     "hann_window_np", "stft_np", "magnitude_np", "linear_to_mel_np",
     "amp_to_db_np", "normalize_mel_np", "denormalize_mel_np",
-    "energy_np", "spectral_flatness_np", "yin_f0_np",
+    "energy_np", "spectral_flatness_np", "yin_f0_np", "yingram_np",
 ]
 
 
@@ -157,6 +157,51 @@ def yin_f0_np(
     f0 = np.where(voiced, f0, 0.0)
     f0 = np.where((f0 >= f0_min) & (f0 <= f0_max), f0, 0.0)
     return f0.astype(np.float32)
+
+
+def yingram_np(
+    x: np.ndarray,
+    sr: int,
+    hop_length: int = 256,
+    frame_length: int = 2048,
+    lag_min: int = 22,
+    lag_max: int = 2047,
+    bins_per_semitone: int = 20,
+) -> np.ndarray:
+    """Numpy mirror of ops.pitch.yingram (same framing/CMNDF/midi grid):
+    (T,) waveform -> (1 + T//hop, n_bins) midi-scale CMNDF image."""
+    w = frame_length
+    pad = w // 2
+    xp = np.pad(x, (pad, pad), mode="reflect")
+    frames = _frame_np(xp.astype(np.float64), w, hop_length)
+
+    nfft = int(2 ** np.ceil(np.log2(w + lag_max)))
+    spec = np.fft.rfft(frames, n=nfft, axis=-1)
+    acf = np.fft.irfft(spec * np.conj(spec), n=nfft, axis=-1)[:, :lag_max]
+
+    taus = np.arange(lag_max)
+    sq = frames * frames
+    csum = np.concatenate([np.zeros_like(sq[:, :1]), np.cumsum(sq, axis=-1)], axis=-1)
+    d = (csum[:, w - lag_max + 1: w + 1][:, ::-1]
+         - 2.0 * acf
+         + csum[:, w:] - csum[:, :lag_max])
+    d = np.maximum(d, 0.0)
+
+    cum = np.cumsum(d[:, 1:], axis=-1)
+    dprime = d[:, 1:] * taus[1:] / np.maximum(cum, 1e-7)
+    dprime = np.concatenate([np.ones_like(d[:, :1]), dprime], axis=-1)
+
+    def _l2m(lag):
+        return 12.0 * np.log2(sr / (440.0 * np.asarray(lag, np.float64))) + 69.0
+
+    mmin, mmax = int(np.ceil(_l2m(lag_max))), int(_l2m(lag_min))
+    midis = np.arange(mmin, mmax + 1, 1.0 / bins_per_semitone)
+    lags = sr / (440.0 * 2.0 ** ((midis - 69.0) / 12.0))
+    lo = np.clip(np.floor(lags).astype(np.int64), 0, lag_max - 1)
+    hi = np.clip(lo + 1, 0, lag_max - 1)
+    frac = (lags - lo) / np.maximum(hi - lo, 1)
+    img = (dprime[:, hi] - dprime[:, lo]) * frac + dprime[:, lo]
+    return img.astype(np.float32)
 
 
 def acf_f0_np(

@@ -81,12 +81,16 @@ _CREPE_CACHE: tp.Dict[str, tp.Any] = {}
 def pitch(ds: SpectrogramDataSample, f0_min: float = 80.0, f0_max: float = 880.0,
           frame_length: int = 2048, threshold: float = 0.2,
           method: str = "yin",
-          crepe_ckpt: tp.Optional[str] = None) -> SpectrogramDataSample:
-    """``method``: 'yin' (default, host numpy), or 'crepe' — the trainable
-    CREPE-class conv tracker (models/pitch/crepe.py, reference pitch-method
-    selection at spectrogram_processors.py:693-699).  'crepe' needs a
-    ``crepe_ckpt`` trained by models.pitch.train_crepe; the model is loaded
-    once per worker process and runs batched on the worker's jax backend."""
+          crepe_ckpt: tp.Optional[str] = None,
+          yingram_bins: int = 20) -> SpectrogramDataSample:
+    """``method``: 'yin' (default, host numpy), 'crepe' — the trainable
+    CREPE-class conv tracker (models/pitch/crepe.py), or 'yingram' — the
+    NANSY midi-scale CMNDF image (2-D pitch representation, clipped to
+    [0, 4] like the reference; pitch-method selection at
+    spectrogram_processors.py:693-699, yingram branch :793-813).  'crepe'
+    needs a ``crepe_ckpt`` trained by models.pitch.train_crepe; the model is
+    loaded once per worker process and runs batched on the worker's jax
+    backend."""
     hop_len = ds.get_param_val("hop_len", ds.hop_len or 256)
     if method == "crepe":
         if not crepe_ckpt:
@@ -107,12 +111,17 @@ def pitch(ds: SpectrogramDataSample, f0_min: float = 80.0, f0_max: float = 880.0
         f0 = np_dsp.yin_f0_np(
             ds.audio_chunk.waveform, ds.audio_chunk.sr, hop_len, frame_length, f0_min, f0_max, threshold
         )
+    elif method == "yingram":
+        f0 = np.clip(np_dsp.yingram_np(
+            ds.audio_chunk.waveform, ds.audio_chunk.sr, hop_len, frame_length,
+            bins_per_semitone=yingram_bins), 0.0, 4.0)
     else:
         raise ValueError(f"unknown pitch method: {method!r}")
     # reconcile to mel frame count (reference: zoom to magnitude frames, :824)
     if ds.magnitude is not None and f0.shape[0] != ds.magnitude.shape[0]:
         fmax = f0.max() if len(f0) else 0.0
-        f0 = ndimage.zoom(f0, ds.magnitude.shape[0] / f0.shape[0], order=1)
+        zoom = [ds.magnitude.shape[0] / f0.shape[0]] + [1.0] * (f0.ndim - 1)
+        f0 = ndimage.zoom(f0, zoom, order=1)
         f0 = np.clip(f0, 0.0, fmax)[: ds.magnitude.shape[0]].astype(np.float32)
     ds.pitch = f0
     return ds

@@ -27,7 +27,7 @@ from speechflow_tpu.ops.signal import (
     rms_normalize,
     dither,
 )
-from speechflow_tpu.ops.pitch import yin_f0
+from speechflow_tpu.ops.pitch import yin_f0, yingram
 from speechflow_tpu.ops.length_regulator import length_regulate_hard, length_regulate_soft, duration_attention
 from speechflow_tpu.ops.mas import maximum_path
 from speechflow_tpu.ops.cqt import cqt, cqt_frequencies
@@ -38,7 +38,7 @@ __all__ = [
     "normalize_mel", "denormalize_mel", "MIN_LEVEL_DB",
     "preemphasis", "deemphasis", "energy", "spectral_flatness",
     "mu_law_encode", "mu_law_decode", "rms_normalize", "dither",
-    "yin_f0",
+    "yin_f0", "yingram",
     "length_regulate_hard", "length_regulate_soft", "duration_attention",
     "maximum_path",
 ]

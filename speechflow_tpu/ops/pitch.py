@@ -20,7 +20,92 @@ import numpy as np
 
 from speechflow_tpu.ops.stft import frame_signal
 
-__all__ = ["yin_f0"]
+__all__ = ["yin_f0", "yingram", "yingram_midi_range", "midi_to_lag", "lag_to_midi"]
+
+
+def midi_to_lag(sr: float, midi) -> np.ndarray:
+    """Midi note -> time lag in samples (A4=69 at 440 Hz)."""
+    return sr / (440.0 * 2.0 ** ((np.asarray(midi, np.float64) - 69.0) / 12.0))
+
+
+def lag_to_midi(sr: float, lag) -> np.ndarray:
+    """Time lag in samples -> midi note."""
+    return 12.0 * np.log2(sr / (440.0 * np.asarray(lag, np.float64))) + 69.0
+
+
+def yingram_midi_range(sr: int, lag_min: int, lag_max: int) -> tp.Tuple[int, int]:
+    """Closed midi interval covered by the lag search range."""
+    return int(np.ceil(lag_to_midi(sr, lag_max))), int(lag_to_midi(sr, lag_min))
+
+
+def yingram(
+    x: jnp.ndarray,
+    sr: int,
+    hop_length: int = 256,
+    frame_length: int = 2048,
+    lag_min: int = 22,
+    lag_max: int = 2047,
+    bins_per_semitone: int = 20,
+) -> jnp.ndarray:
+    """(B, T) waveform -> (B, n_frames, n_bins) midi-scale CMNDF image.
+
+    The NANSY-style "yingram" pitch representation the reference exposes as
+    PitchProcessor ``method="yingram"`` (spectrogram_processors.py:793-813,
+    algorithms/audio_processing/yin_image.py): the YIN cumulative
+    mean-normalized difference function, lag-normalized, sampled by linear
+    interpolation on a fractional-lag grid of ``bins_per_semitone`` bins per
+    midi semitone over the [lag_min, lag_max] search range.  Low values mark
+    periodicity at that bin's pitch; downstream models consume the image
+    directly (no hard f0 decision, so no voicing errors propagate).
+
+    Differences from the reference (intentional): the autocorrelation term is
+    computed with zero-padded (linear) FFT correlation — the reference's
+    unpadded rfft wraps circularly, folding acf(W-tau) into acf(tau) — and
+    frames are centered like yin_f0/STFT so the image lines up 1:1 with mel
+    frames (the reference right-pads and then appends a zero column).
+    n_frames == 1 + T // hop_length.  Static shapes; one fused device call.
+    """
+    if x.ndim == 1:
+        x = x[None]
+        squeeze = True
+    else:
+        squeeze = False
+    w = frame_length
+    assert lag_max < w, "frame_length must exceed lag_max"
+
+    pad = w // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    frames = frame_signal(xp, w, hop_length)  # (B, F, W)
+
+    # linear acf at lags 0..lag_max via zero-padded FFT
+    nfft = int(2 ** np.ceil(np.log2(w + lag_max)))
+    spec = jnp.fft.rfft(frames, n=nfft, axis=-1)
+    acf = jnp.fft.irfft(spec * jnp.conj(spec), n=nfft, axis=-1)[..., : lag_max]
+
+    # d(tau) = c[W-tau] - 2 acf(tau) + c[W] - c[tau], c = cumsum(x^2)
+    sq = frames * frames
+    csum = jnp.concatenate(
+        [jnp.zeros_like(sq[..., :1]), jnp.cumsum(sq, axis=-1)], axis=-1)
+    taus = jnp.arange(lag_max)
+    d = (csum[..., w - lag_max + 1: w + 1][..., ::-1]
+         - 2.0 * acf
+         + csum[..., w:] - csum[..., :lag_max])
+    d = jnp.maximum(d, 0.0)
+
+    # lag-normalized CMNDF (YIN Eq. 8), d'(0) = 1
+    cum = jnp.cumsum(d[..., 1:], axis=-1)
+    dprime = d[..., 1:] * taus[1:] / jnp.maximum(cum, 1e-7)
+    dprime = jnp.concatenate([jnp.ones_like(d[..., :1]), dprime], axis=-1)
+
+    # static fractional-lag grid: bins_per_semitone bins per midi semitone
+    mmin, mmax = yingram_midi_range(sr, lag_min, lag_max)
+    midis = np.arange(mmin, mmax + 1, 1.0 / bins_per_semitone)
+    lags = midi_to_lag(sr, midis)  # descending in midi -> ascending? (static)
+    lo = np.clip(np.floor(lags).astype(np.int64), 0, lag_max - 1)
+    hi = np.clip(lo + 1, 0, lag_max - 1)
+    frac = jnp.asarray((lags - lo) / np.maximum(hi - lo, 1), jnp.float32)
+    img = (dprime[..., hi] - dprime[..., lo]) * frac + dprime[..., lo]
+    return img[0] if squeeze else img
 
 
 def yin_f0(
