@@ -1,0 +1,98 @@
+"""Gate on the committed mini-convergence record (VERDICT r3 next-step #2).
+
+tests/tools/convergence_study.py trains the forward acoustic model (~3k
+steps) and the mel->ISTFT GAN vocoder (~2.5k steps, adversarial phase after
+a reconstruction warmup) on the mini corpus and commits loss trajectories +
+end-of-run metrics to docs/convergence.json.  This test pins the committed
+record's properties so a regressing rerun (or a hand-edited record) fails CI:
+
+  * both loss curves actually DECAY (late mean well under early mean),
+  * teacher-forced acoustic metrics clearly beat the untrained baseline and
+    the free-running (non-teacher-forced) DTW-MCD is recorded and sane,
+  * the vocoder's adversarial phase does not destabilize reconstruction
+    (final validation within tolerance of the pre-adversarial point, PESQ
+    not collapsing),
+  * end-of-run values ratchet against the committed thresholds below.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+RECORD = Path(__file__).parent.parent / "docs" / "convergence.json"
+
+
+@pytest.fixture(scope="module")
+def record():
+    assert RECORD.exists(), (
+        "run PYTHONPATH=. python tests/tools/convergence_study.py to produce "
+        "docs/convergence.json")
+    return json.loads(RECORD.read_text())
+
+
+def _curve(rec, key):
+    cols = rec["loss_keys"]
+    arr = np.asarray(rec["loss_curve"], np.float64)
+    return arr[:, 0], arr[:, 1 + cols.index(key)]
+
+
+def test_acoustic_loss_decays(record):
+    rec = record["acoustic"]
+    steps, loss = _curve(rec, "total_loss")
+    assert len(loss) >= 40 and steps[-1] >= 2000
+    early = float(loss[:5].mean())
+    late = float(loss[-5:].mean())
+    assert late < 0.5 * early, (early, late)
+    # no divergence anywhere in the back half
+    back = loss[len(loss) // 2:]
+    assert float(back.max()) < 2.0 * float(back.mean()), "late-run spike"
+
+
+def test_acoustic_beats_untrained_and_ratchet(record):
+    rec = record["acoustic"]
+    tf, untrained = rec["tf"], rec["tf_untrained"]
+    assert tf["mel_l1"] < 0.25 * untrained["mel_l1"]
+    assert tf["mcd_db"] < untrained["mcd_db"]
+    # ratchet: reruns must stay at least this good (round-4 measured + 20%)
+    assert tf["mel_l1"] <= 1.05
+    assert np.isfinite(rec["free_running_mcd_dtw"])
+    # free-running synthesis must be in the same regime as teacher-forced,
+    # not untrained-level garbage (round-4 measured: 43.4 vs TF 36.4)
+    assert rec["free_running_mcd_dtw"] < 2.0 * tf["mcd_db"]
+    assert rec["free_running_mcd_dtw"] < 0.1 * untrained["mcd_db"]
+
+
+def test_vocoder_reconstruction_decays(record):
+    rec = record["vocoder"]
+    steps, mel = _curve(rec, "gen/mel")
+    assert steps[-1] >= 2000
+    early = float(mel[:5].mean())
+    late = float(mel[-5:].mean())
+    assert late < 0.6 * early, (early, late)
+
+
+def test_vocoder_adversarial_phase_is_stable(record):
+    rec = record["vocoder"]
+    adv_start = rec["adv_start_iter"]
+    steps, mel = _curve(rec, "gen/mel")
+    post = mel[steps > adv_start + 100]
+    pre_end = float(mel[(steps > adv_start - 300) & (steps <= adv_start)].mean())
+    # adversarial gradients may not blow up the reconstruction term
+    assert float(post.max()) < 1.5 * pre_end, (float(post.max()), pre_end)
+    # disc loss exists and stays finite after it starts
+    _, disc = _curve(rec, "disc/total")
+    post_disc = disc[steps > adv_start + 100]
+    assert np.isfinite(post_disc).all()
+
+    va, vf = rec["val_at_adv_start"], rec["val_final"]
+    assert vf["val/mcd"] <= va["val/mcd"] * 1.3
+    assert vf["val/pesq_wb"] >= rec["val_untrained"]["val/pesq_wb"]
+
+
+def test_vocoder_beats_untrained(record):
+    rec = record["vocoder"]
+    u, f = rec["val_untrained"], rec["val_final"]
+    assert f["val/mcd"] < u["val/mcd"]
+    assert f["val/si_snr"] > u["val/si_snr"]
