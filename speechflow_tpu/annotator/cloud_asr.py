@@ -135,6 +135,9 @@ class YandexSTTService(STTService):
         body = {
             "config": {"specification": {
                 "languageCode": self.locale_code,
+                # we upload raw int16 PCM; SpeechKit defaults to OGG_OPUS, so
+                # the encoding must be stated or decode fails server-side
+                "audioEncoding": "LINEAR16_PCM",
                 "sampleRateHertz": self.sample_rate,
                 "rawResults": True,
             }},
@@ -203,7 +206,11 @@ class GoogleSTTService(STTService):
         resp = transport("POST", f"{self.endpoint}/speech:longrunningrecognize",
                          self._headers(), body)
         if "name" not in resp:
-            raise ASRException(resp.get("error", str(resp)))
+            err = resp.get("error", str(resp))
+            msg = err.get("message", str(err)) if isinstance(err, dict) else str(err)
+            if "quota" in msg.lower() or "limit" in msg.lower():
+                raise ASRRequestLimitException(msg)
+            raise ASRException(msg)
         return str(resp["name"])
 
     def poll(self, transport: Transport, op_id: str) -> dict:
@@ -331,9 +338,16 @@ class CloudASR(ASRBase):
         return result
 
     @classmethod
-    def json_to_txt(cls, json_path: tp.Union[str, Path]) -> Path:
-        """Rewrite a transcription .json as the begin:end<TAB>text timeline
-        (reference cloud_asr.py:87 json_to_txt / yandex _to_text)."""
+    def json_to_txt(cls, json_path: tp.Union[str, Path],
+                    gap_s: float = 1.0) -> Path:
+        """Rewrite a transcription .json as a begin:end<TAB>text timeline
+        (reference cloud_asr.py:87 json_to_txt / yandex _to_text).
+
+        The reference emits one line per recognized chunk; chunk structure
+        isn't persisted in the sidecar, so segments are reconstructed by
+        splitting on inter-word silences > ``gap_s`` — internal boundaries
+        of long multi-chunk audio are preserved instead of collapsing the
+        whole transcript into a single first-to-last line."""
         json_path = Path(json_path)
         data = json.loads(json_path.read_text(encoding="utf-8"))
         stamps = data.get("timestamps") or []
@@ -343,8 +357,15 @@ class CloudASR(ASRBase):
                 sec = int(sec)
                 return f"{sec // 3600}:{(sec % 3600) // 60:02d}:{sec % 60:02d}"
 
-            lines.append(f"{hms(stamps[0][1])}:{hms(stamps[-1][2])}\t"
-                         f"{data['text']}\n")
+            segments: tp.List[tp.List[list]] = [[stamps[0]]]
+            for prev, cur in zip(stamps, stamps[1:]):
+                if float(cur[1]) - float(prev[2]) > gap_s:
+                    segments.append([])
+                segments[-1].append(cur)
+            for seg in segments:
+                text = " ".join(str(w[0]) for w in seg)
+                lines.append(f"{hms(float(seg[0][1]))}:"
+                             f"{hms(float(seg[-1][2]))}\t{text}\n")
         out = json_path.with_suffix(".txt")
         out.write_text("".join(lines) or data.get("text", ""),
                        encoding="utf-8")

@@ -170,6 +170,10 @@ def yingram_np(
 ) -> np.ndarray:
     """Numpy mirror of ops.pitch.yingram (same framing/CMNDF/midi grid):
     (T,) waveform -> (1 + T//hop, n_bins) midi-scale CMNDF image."""
+    if lag_max >= frame_length:
+        raise ValueError(
+            f"yingram requires lag_max < frame_length, got lag_max={lag_max} "
+            f"frame_length={frame_length} (raise frame_length or lower lag_max)")
     w = frame_length
     pad = w // 2
     xp = np.pad(x, (pad, pad), mode="reflect")

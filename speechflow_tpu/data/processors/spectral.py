@@ -112,9 +112,11 @@ def pitch(ds: SpectrogramDataSample, f0_min: float = 80.0, f0_max: float = 880.0
             ds.audio_chunk.waveform, ds.audio_chunk.sr, hop_len, frame_length, f0_min, f0_max, threshold
         )
     elif method == "yingram":
+        # CMNDF lags must fit inside the analysis window
+        lag_max = min(2047, frame_length - 1)
         f0 = np.clip(np_dsp.yingram_np(
             ds.audio_chunk.waveform, ds.audio_chunk.sr, hop_len, frame_length,
-            bins_per_semitone=yingram_bins), 0.0, 4.0)
+            lag_max=lag_max, bins_per_semitone=yingram_bins), 0.0, 4.0)
     else:
         raise ValueError(f"unknown pitch method: {method!r}")
     # reconcile to mel frame count (reference: zoom to magnitude frames, :824)

@@ -54,9 +54,34 @@ class XTTSEvaluationInterface:
     def prepare_text(self, text: str, lang: str = "EN") -> np.ndarray:
         return self.text_processor.encode_text(text, lang)
 
+    def prompt_mel_from_audio(self, ref_audio: tp.Union[str, Path, AudioChunk]
+                              ) -> np.ndarray:
+        """Reference audio -> normalized mel matching the training pipeline's
+        mel handler (the prompt the WithPrompt collate fed at train time)."""
+        from speechflow_tpu.data.processors import np_dsp
+
+        chunk = (ref_audio if isinstance(ref_audio, AudioChunk)
+                 else AudioChunk(file_path=ref_audio))
+        pipe_cfg = (self.payload["pipeline_info"].get("config", {})
+                    .get("preproc", {}).get("pipe_cfg", {}))
+        sr = pipe_cfg.get("load_audio", {}).get("sample_rate", self.sample_rate)
+        n_mels = pipe_cfg.get("linear_to_mel", {}).get("n_mels", 80)
+        if isinstance(n_mels, dict):
+            n_mels = next(iter(n_mels.values()))
+        if chunk.waveform is None:
+            chunk.load(sr=sr)
+        mag = np_dsp.magnitude_np(chunk.waveform)
+        return np_dsp.normalize_mel_np(np_dsp.amp_to_db_np(
+            np_dsp.linear_to_mel_np(mag, sr, int(n_mels)))).astype(np.float32)
+
     def synthesize(self, text: str, speaker: tp.Optional[str] = None,
                    max_tokens: int = 512, temperature: float = 0.8,
-                   seed: int = 0) -> AudioChunk:
+                   seed: int = 0,
+                   ref_audio: tp.Optional[tp.Union[str, Path, AudioChunk]] = None,
+                   ) -> AudioChunk:
+        """``ref_audio``: reference utterance for zero-shot voice cloning —
+        its mel is prefixed to the GPT context (reference
+        xtts_decoder.py:94-104 prompt conditioning)."""
         import jax.numpy as jnp
 
         ids = self.prepare_text(text)
@@ -65,7 +90,13 @@ class XTTSEvaluationInterface:
         sid = None
         if speaker is not None:
             sid = jnp.asarray([self.speaker2id.get(speaker, 0)], jnp.int32)
+        prompt_mel = prompt_lens = None
+        if ref_audio is not None and self.params.use_prompt:
+            mel = self.prompt_mel_from_audio(ref_audio)
+            prompt_mel = jnp.asarray(mel[None])
+            prompt_lens = jnp.asarray([mel.shape[0]], jnp.int32)
         wav = self.model.synthesize(
             jnp.asarray(ids[None]), speaker_id=sid, max_tokens=max_tokens,
-            temperature=temperature, key=jax.random.PRNGKey(seed))
+            temperature=temperature, key=jax.random.PRNGKey(seed),
+            prompt_mel=prompt_mel, prompt_mel_lengths=prompt_lens)
         return AudioChunk(data=np.asarray(wav)[0], sr=self.sample_rate)

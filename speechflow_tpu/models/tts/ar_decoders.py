@@ -195,31 +195,43 @@ class CausalBlock(nnx.Module):
         shape = (b, max_len, self.n_heads, self.head_dim)
         return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
-    def prefill(self, x, cache):
-        """Parallel causal pass over the prefix; fills cache[:, :t]."""
+    def prefill(self, x, cache, valid=None):
+        """Parallel causal pass over the prefix; fills cache[:, :t].
+        ``valid`` (B, t) optionally masks padded prefix keys (e.g. a padded
+        audio prompt) out of attention."""
         t = x.shape[1]
         q, k, v = self._qkv(x)
         k_c = jax.lax.dynamic_update_slice_in_dim(cache[0], k, 0, axis=1)
         v_c = jax.lax.dynamic_update_slice_in_dim(cache[1], v, 0, axis=1)
-        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
-        return self._ff(x + self.o(self._attend(q, k, v, causal))), (k_c, v_c)
+        mask = jnp.tril(jnp.ones((t, t), bool))[None, None]
+        if valid is not None:
+            mask = mask & valid[:, None, None, :t]
+        return self._ff(x + self.o(self._attend(q, k, v, mask))), (k_c, v_c)
 
-    def decode_step(self, x_t, cache, pos):
-        """One token: x_t (B, 1, D) at absolute position ``pos`` (traced)."""
+    def decode_step(self, x_t, cache, pos, valid=None):
+        """One token: x_t (B, 1, D) at absolute position ``pos`` (traced).
+        ``valid`` (B, max_len) masks padded prefix keys."""
         q, k, v = self._qkv(x_t, positions=jnp.asarray(pos)[None])
         k_c = jax.lax.dynamic_update_slice_in_dim(cache[0], k, pos, axis=1)
         v_c = jax.lax.dynamic_update_slice_in_dim(cache[1], v, pos, axis=1)
         kv_mask = (jnp.arange(k_c.shape[1]) <= pos)[None, None, None, :]
+        if valid is not None:
+            kv_mask = kv_mask & valid[:, None, None, :]
         return self._ff(x_t + self.o(self._attend(q, k_c, v_c, kv_mask))), (k_c, v_c)
 
 
 class GPTDecoder(nnx.Module):
-    """Causal LM over [text ; BOS ; acoustic codes] (XTTS-style GPTA)."""
+    """Causal LM over [text ; (BOA ; audio-prompt) ; BOS ; acoustic codes]
+    (XTTS-style GPTA).  With ``prompt_dim`` set, a reference-audio prompt —
+    already encoded to model-dim frames by the caller's conditioning encoder —
+    is prefixed between text and BOS behind a learned BOA token, giving the
+    zero-shot voice-cloning conditioning of the reference
+    (xtts_decoder.py:94-104, gpt_acoustic.py:206-246 prepare_prompt_audio)."""
 
     def __init__(self, n_text_tokens: int = 256, n_audio_tokens: int = 1026,
                  dim: int = 512, n_layers: int = 8, n_heads: int = 8,
                  cond_dim: tp.Optional[int] = None, block_type: str = "attention",
-                 rngs: nnx.Rngs = None, **kw):
+                 use_prompt: bool = False, rngs: nnx.Rngs = None, **kw):
         rngs = rngs or nnx.Rngs(0)
         self.text_emb = nnx.Embed(n_text_tokens, dim, rngs=rngs)
         self.audio_emb = nnx.Embed(n_audio_tokens, dim, rngs=rngs)
@@ -228,35 +240,61 @@ class GPTDecoder(nnx.Module):
         self.norm = nnx.LayerNorm(dim, rngs=rngs)
         self.head = nnx.Linear(dim, n_audio_tokens, rngs=rngs)
         self.cond_proj = nnx.Linear(cond_dim, dim, rngs=rngs) if cond_dim else None
+        # learned begin-of-audio-prompt token (reference service_tokens["boa"])
+        self.boa_tok = (nnx.Param(jax.random.normal(rngs.params(), (1, 1, dim)) * 0.02)
+                        if use_prompt else None)
         self.n_audio_tokens = n_audio_tokens
         self.bos = n_audio_tokens - 2
         self.eos = n_audio_tokens - 1
 
-    def _trunk(self, text_ids, audio_ids, cond=None):
+    def _prefix(self, text_ids, prompt_emb=None, prompt_lengths=None):
+        """[text ; BOA ; prompt] embeddings + per-key validity (B, L)."""
         t_emb = self.text_emb(text_ids)
+        b, t_text = text_ids.shape
+        parts, valids = [t_emb], [jnp.ones((b, t_text), bool)]
+        if prompt_emb is not None:
+            if self.boa_tok is None:
+                raise ValueError("GPTDecoder built without use_prompt=True")
+            boa = jnp.broadcast_to(self.boa_tok[...], (b, 1, t_emb.shape[-1]))
+            parts += [boa, prompt_emb]
+            pv = (sequence_mask(prompt_lengths, prompt_emb.shape[1])
+                  if prompt_lengths is not None
+                  else jnp.ones((b, prompt_emb.shape[1]), bool))
+            valids += [jnp.ones((b, 1), bool), pv]
+        return jnp.concatenate(parts, axis=1), jnp.concatenate(valids, axis=1)
+
+    def _trunk(self, text_ids, audio_ids, cond=None, prompt_emb=None,
+               prompt_lengths=None):
+        prefix, pvalid = self._prefix(text_ids, prompt_emb, prompt_lengths)
         a_emb = self.audio_emb(audio_ids)
-        x = jnp.concatenate([t_emb, a_emb], axis=1)
+        x = jnp.concatenate([prefix, a_emb], axis=1)
+        valid = jnp.concatenate(
+            [pvalid, jnp.ones((x.shape[0], a_emb.shape[1]), bool)], axis=1)
         if self.cond_proj is not None and cond is not None:
             x = x + self.cond_proj(cond)[:, None, :]
         l = x.shape[1]
-        causal = jnp.tril(jnp.ones((l, l), bool))[None, None]
+        mask = jnp.tril(jnp.ones((l, l), bool))[None, None]
+        if prompt_emb is not None and prompt_lengths is not None:
+            mask = mask & valid[:, None, None, :]
         for blk in self.blocks:
-            x = blk(x, causal)
+            x = blk(x, mask)
         return self.head(self.norm(x))
 
-    def __call__(self, text_ids, audio_ids, cond=None):
+    def __call__(self, text_ids, audio_ids, cond=None, prompt_emb=None,
+                 prompt_lengths=None):
         """Teacher-forced logits for audio positions: predicts audio_ids[t]
-        from [text ; BOS ; audio_ids[:t]]."""
+        from [text ; (BOA ; prompt) ; BOS ; audio_ids[:t]]."""
         b = audio_ids.shape[0]
         bos = jnp.full((b, 1), self.bos, jnp.int32)
         inputs = jnp.concatenate([bos, audio_ids[:, :-1]], axis=1)
-        logits = self._trunk(text_ids, inputs, cond)
-        return logits[:, text_ids.shape[1]:]  # logits over audio positions
+        logits = self._trunk(text_ids, inputs, cond, prompt_emb, prompt_lengths)
+        return logits[:, -audio_ids.shape[1]:]  # logits over audio positions
 
-    def loss(self, text_ids, audio_ids, audio_lengths, cond=None):
+    def loss(self, text_ids, audio_ids, audio_lengths, cond=None,
+             prompt_emb=None, prompt_lengths=None):
         import optax
 
-        logits = self(text_ids, audio_ids, cond)
+        logits = self(text_ids, audio_ids, cond, prompt_emb, prompt_lengths)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, audio_ids)
         mask = sequence_mask(audio_lengths, audio_ids.shape[1]).astype(ce.dtype)
         return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -267,14 +305,13 @@ class GPTDecoder(nnx.Module):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def generate(self, text_ids, max_tokens: int = 256, temperature: float = 0.8,
-                 key=None, cond=None):
-        """KV-cached sampling: one parallel prefill over [text ; BOS] fills the
-        per-layer caches, then a ``lax.scan`` decodes one token per step with
-        O(1) trunk work (static shapes; reference GPTA streaming inference,
-        common/gpts/gpt_acoustic.py:34)."""
+                 key=None, cond=None, prompt_emb=None, prompt_lengths=None):
+        """KV-cached sampling: one parallel prefill over
+        [text ; (BOA ; prompt) ; BOS] fills the per-layer caches, then a
+        ``lax.scan`` decodes one token per step with O(1) trunk work (static
+        shapes; reference GPTA streaming inference, gpt_acoustic.py:34)."""
         b, t_text = text_ids.shape
         key = key if key is not None else jax.random.PRNGKey(0)
-        l_max = t_text + 1 + max_tokens
 
         cond_emb = (self.cond_proj(cond)[:, None, :]
                     if self.cond_proj is not None and cond is not None else None)
@@ -283,15 +320,22 @@ class GPTDecoder(nnx.Module):
             e = self.audio_emb(ids)
             return e + cond_emb if cond_emb is not None else e
 
-        # prefill the prefix [text ; BOS] — caches hold positions [0, t_text]
+        # prefill the prefix [text ; (BOA ; prompt) ; BOS]
+        prefix, pvalid = self._prefix(text_ids, prompt_emb, prompt_lengths)
         x = jnp.concatenate(
-            [self.text_emb(text_ids),
-             self.audio_emb(jnp.full((b, 1), self.bos, jnp.int32))], axis=1)
+            [prefix, self.audio_emb(jnp.full((b, 1), self.bos, jnp.int32))],
+            axis=1)
         if cond_emb is not None:
             x = x + cond_emb
+        t_prefix = x.shape[1]  # text + (1 + P) + BOS
+        l_max = t_prefix + max_tokens
+        valid = jnp.concatenate(
+            [pvalid, jnp.ones((b, 1 + max_tokens), bool)], axis=1)
+        need_valid = prompt_emb is not None and prompt_lengths is not None
         caches = []
         for blk in self.blocks:
-            x, cache = blk.prefill(x, blk.init_cache(b, l_max))
+            x, cache = blk.prefill(x, blk.init_cache(b, l_max),
+                                   valid=valid if need_valid else None)
             caches.append(cache)
         logits0 = self.head(self.norm(x[:, -1]))
 
@@ -302,12 +346,13 @@ class GPTDecoder(nnx.Module):
 
         def step(carry, i):
             tokens, prev, caches, key = carry
-            # audio token i-1 sits at absolute position t_text + 1 + (i-1)
+            # audio token i-1 sits at absolute position t_prefix + (i-1)
             x = embed_audio(prev[:, None])
-            pos = t_text + i
+            pos = t_prefix - 1 + i
             new_caches = []
             for blk, cache in zip(self.blocks, caches):
-                x, c = blk.decode_step(x, cache, pos)
+                x, c = blk.decode_step(x, cache, pos,
+                                       valid=valid if need_valid else None)
                 new_caches.append(c)
             logits = self.head(self.norm(x[:, 0]))
             key, sub = jax.random.split(key)
@@ -320,7 +365,8 @@ class GPTDecoder(nnx.Module):
         return tokens
 
     def generate_naive(self, text_ids, max_tokens: int = 256,
-                       temperature: float = 0.8, key=None, cond=None):
+                       temperature: float = 0.8, key=None, cond=None,
+                       prompt_emb=None, prompt_lengths=None):
         """O(T^2) sampling that re-runs the full trunk per step — kept as the
         parity/benchmark reference for the KV-cached ``generate``."""
         b = text_ids.shape[0]
@@ -331,7 +377,8 @@ class GPTDecoder(nnx.Module):
             tokens, key = carry
             bos = jnp.full((b, 1), self.bos, jnp.int32)
             inputs = jnp.concatenate([bos, tokens[:, :-1]], axis=1)
-            logits = self._trunk(text_ids, inputs, cond)[:, text_ids.shape[1]:]
+            logits = self._trunk(text_ids, inputs, cond, prompt_emb,
+                                 prompt_lengths)[:, -max_tokens:]
             step_logits = jax.lax.dynamic_slice_in_dim(logits, i, 1, axis=1)[:, 0]
             key, sub = jax.random.split(key)
             nxt = self._sample(step_logits, sub, temperature)
@@ -388,11 +435,19 @@ class RetentionBlock(nnx.Module):
         h, q, k, v = self._qkv(x)
         n = jnp.arange(t)
         rel = n[:, None] - n[None, :]  # n - m
+        # retention is linear in V, so padded keys are removed exactly by
+        # zeroing their score contribution (mask is (B|1, 1, t, t) boolean,
+        # causality already lives in the decay)
+        key_mask = None
+        if mask is not None:
+            key_mask = mask[:, 0].astype(jnp.float32)  # (B|1, t, t)
         outs = []
         for head, gamma in enumerate(self.gammas):
             decay = jnp.where(rel >= 0, gamma ** rel.astype(jnp.float32), 0.0)
             scores = jnp.einsum("btd,bsd->bts", q[:, :, head], k[:, :, head])
             scores = scores * decay[None] / np.sqrt(self.head_dim)
+            if key_mask is not None:
+                scores = scores * key_mask
             outs.append(jnp.einsum("bts,bsd->btd", scores, v[:, :, head]))
         o = jnp.stack(outs, axis=2)
         return self._mix(x, h, o)
@@ -402,17 +457,24 @@ class RetentionBlock(nnx.Module):
     def init_cache(self, b: int, max_len: int, dtype=jnp.float32):
         return jnp.zeros((b, self.n_heads, self.head_dim, self.head_dim), dtype)
 
-    def prefill(self, x, cache):
+    def prefill(self, x, cache, valid=None):
         """Parallel pass over the prefix; returns the recurrent state
-        S = sum_m gamma^(t-1-m) k_m (x) v_m so decoding can continue from it."""
+        S = sum_m gamma^(t-1-m) k_m (x) v_m so decoding can continue from it.
+        ``valid`` (B, t) drops padded prefix positions from the state."""
         t = x.shape[1]
         h, q, k, v = self._qkv(x)
+        if valid is not None:
+            k = k * valid[:, :t, None, None].astype(k.dtype)
         gammas = jnp.asarray(self.gammas, jnp.float32)  # (H,)
         w = gammas[:, None] ** (t - 1 - jnp.arange(t)).astype(jnp.float32)[None, :]
         state = jnp.einsum("ht,bthd,bthe->bhde", w, k, v)
-        return self.__call__(x), state
+        mask = None
+        if valid is not None:
+            mask = (jnp.tril(jnp.ones((t, t), bool))[None, None]
+                    & valid[:, None, None, :t])
+        return self.__call__(x, mask), state
 
-    def decode_step(self, x_t, cache, pos):
+    def decode_step(self, x_t, cache, pos, valid=None):
         """One token: S <- gamma*S + k (x) v; out = q S / sqrt(d)."""
         h, q, k, v = self._qkv(x_t, positions=jnp.asarray(pos)[None])
         gammas = jnp.asarray(self.gammas, jnp.float32)

@@ -40,6 +40,13 @@ LOGGER = logging.getLogger("speechflow_tpu")
 
 
 def train(model_cfg, data_cfg, saver, callbacks=()) -> str:
+    if (model_cfg.get_path("model.type") == "xtts"
+            and model_cfg.get_path("model.use_prompt", False)
+            and data_cfg.get_path("collate.type") == "TTSCollate"):
+        # prompt-conditioned XTTS needs same-speaker prompt pairing
+        # (reference wires TTSCollateWithPrompt for the XTTS recipes,
+        # speechflow/data_pipeline/collate_functions/tts_collate.py:157)
+        data_cfg.set_path("collate.type", "TTSCollateWithPrompt")
     pipeline, bundle = build_data(data_cfg, model_cfg)
     try:
         m_dict = model_config_from_info(model_cfg, pipeline)
@@ -54,7 +61,11 @@ def train(model_cfg, data_cfg, saver, callbacks=()) -> str:
             )
 
             m_dict.pop("n_langs", None)  # XTTS conditions on speaker only
-            m_dict.pop("n_mels", None)   # codec tokens, not mel frames
+            # mel bins size the audio-prompt conditioning encoder, not the
+            # GPT targets (those are codec tokens)
+            n_mels = m_dict.pop("n_mels", None)
+            if m_dict.get("use_prompt") and n_mels and "prompt_dim" not in m_dict:
+                m_dict["prompt_dim"] = int(n_mels)
             params = XTTSParams.create(m_dict)
             model = XTTSModel(params, rngs=nnx.Rngs(0))
             criterion = xtts_criterion()
