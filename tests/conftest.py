@@ -67,8 +67,9 @@ _setup_dump_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+from tests.paths import MINI_SEGS
 
-REFERENCE_MINI_DATASET = "/root/reference/examples/simple_datasets/speech/SEGS"
+REFERENCE_MINI_DATASET = MINI_SEGS  # vendored; see tests/paths.py
 
 
 @pytest.fixture

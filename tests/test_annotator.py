@@ -8,8 +8,9 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from tests.paths import MINI_SEGS, SRC_WAVS
 
-SRC = "/root/reference/examples/simple_datasets/speech/SRC/EN/OPENSOURCE_VOICES/001_LJSpeech/LJSpeech-1.1/wavs"
+SRC = f"{SRC_WAVS}"
 
 pytestmark = [pytest.mark.slow, pytest.mark.skipif(not os.path.isdir(SRC), reason="reference SRC unavailable")]
 
@@ -64,7 +65,7 @@ def aligner_ckpt(tmp_path_factory):
     cfg.to_file(mpath)
     exp = train_aligner.main([
         "-c", str(mpath), "-cd", str(cfg_dir / "tts_data_24khz.yml"), "-vs", "debug",
-        "--data_root", "/root/reference/examples/simple_datasets/speech/SEGS"])
+        "--data_root", f"{MINI_SEGS}"])
     return ExperimentSaver.get_last_checkpoint(exp)
 
 
@@ -75,7 +76,7 @@ def test_aligner_emits_textgrid_stages(aligner_ckpt, tmp_path):
     from speechflow_tpu.io import AudioSeg
 
     # copy one seg + wav into tmp to annotate
-    src_dir = Path("/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000")
+    src_dir = Path(f"{MINI_SEGS}/EN/LJSpeech/000")
     shutil.copy(src_dir / "0.TextGridStage3", tmp_path / "0.TextGrid")
     shutil.copy(src_dir / "0.wav", tmp_path / "0.wav")
 
@@ -107,7 +108,7 @@ def test_batched_alignment_amortizes_dispatches(aligner_ckpt, tmp_path):
 
     from speechflow_tpu.annotator.align import Aligner, AlignStage
 
-    src_dir = Path("/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000")
+    src_dir = Path(f"{MINI_SEGS}/EN/LJSpeech/000")
     segs = sorted(src_dir.glob("*.TextGridStage3"))[:12]
     for i, s in enumerate(segs):
         shutil.copy(s, tmp_path / f"{i}.TextGrid")

@@ -20,6 +20,7 @@ from speechflow_tpu.data.core import (
 )
 from speechflow_tpu.data.samplers import RandomSampler, SimpleSampler, WeightedSampler
 from speechflow_tpu.io import Config
+from tests.paths import MINI_SEGS
 
 CFG_PATH = Path(__file__).parent.parent / "configs" / "tts_data_24khz.yml"
 
@@ -140,7 +141,7 @@ def pipeline(mini_dataset_path_module):
 def mini_dataset_path_module():
     import os
 
-    p = "/root/reference/examples/simple_datasets/speech/SEGS"
+    p = f"{MINI_SEGS}"
     if not os.path.isdir(p):
         pytest.skip("reference mini dataset not available")
     return p

@@ -8,8 +8,9 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from tests.paths import MINI_SEGS
 
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
+MINI = f"{MINI_SEGS}"
 CFG = Path(__file__).parent.parent / "configs" / "tts_data_24khz.yml"
 
 pytestmark = pytest.mark.skipif(not os.path.isdir(MINI), reason="mini dataset unavailable")

@@ -16,8 +16,9 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from tests.paths import MINI_SEGS
 
-SEGS = Path("/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000")
+SEGS = Path(f"{MINI_SEGS}/EN/LJSpeech/000")
 CFG_DIR = Path(__file__).parent.parent / "configs"
 
 pytestmark = pytest.mark.skipif(not SEGS.is_dir(), reason="mini corpus unavailable")

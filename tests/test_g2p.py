@@ -16,6 +16,7 @@ from speechflow_tpu.models.g2p import (
     phoneme_error_rate,
     train_g2p,
 )
+from tests.paths import MINI_SEGS
 
 
 @pytest.fixture(scope="module")
@@ -23,7 +24,7 @@ def lexicon(request):
     import os
     from pathlib import Path
 
-    root = "/root/reference/examples/simple_datasets/speech/SEGS"
+    root = f"{MINI_SEGS}"
     if not os.path.isdir(root):
         pytest.skip("reference mini dataset unavailable")
     lex = mine_g2p_lexicon(sorted(Path(root).rglob("*.TextGrid*")))

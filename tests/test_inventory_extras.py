@@ -5,6 +5,7 @@ import pytest
 
 from speechflow_tpu.data.core.datasample import SpectrogramDataSample, TTSDataSample
 from speechflow_tpu.io import AudioChunk
+from tests.paths import MINI_SEGS
 
 pytestmark = pytest.mark.slow
 
@@ -99,7 +100,7 @@ def test_ssml_through_eval_interface(tmp_path, rng):
     modifier-aware inputs (slower span -> longer audio than plain text)."""
     import os
 
-    mini = "/root/reference/examples/simple_datasets/speech/SEGS"
+    mini = f"{MINI_SEGS}"
     if not os.path.isdir(mini):
         pytest.skip("mini dataset unavailable")
     from pathlib import Path

@@ -21,8 +21,9 @@ from speechflow_tpu.io import (
     read_file_list,
     split_file_list,
 )
+from tests.paths import MINI_SEGS
 
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000"
+MINI = f"{MINI_SEGS}/EN/LJSpeech/000"
 
 
 # ---------------------------------------------------------------- Config
@@ -246,7 +247,7 @@ def test_all_reference_segas_parse_and_roundtrip(tmp_path):
     import glob
 
     paths = sorted(glob.glob(
-        "/root/reference/examples/simple_datasets/speech/SEGS/**/*.TextGridStage3",
+        f"{MINI_SEGS}/**/*.TextGridStage3",
         recursive=True))
     if not paths:
         pytest.skip("reference data unavailable")

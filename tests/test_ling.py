@@ -21,8 +21,9 @@ from speechflow_tpu.data.processors.ling import (
     ling_feat_from_text,
     lm_feat_for_words,
 )
+from tests.paths import MINI_SEGS
 
-SEG = "/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000/0.TextGridStage3"
+SEG = f"{MINI_SEGS}/EN/LJSpeech/000/0.TextGridStage3"
 
 
 def test_rule_tagger():

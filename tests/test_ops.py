@@ -13,6 +13,7 @@ import torch
 
 from speechflow_tpu import ops
 from speechflow_tpu.ops.mel import _hz_to_mel, _mel_to_hz, mel_filterbank
+from tests.paths import MINI_SEGS
 
 
 def _rand_wav(rng, n=24000):
@@ -312,7 +313,7 @@ def test_pitch_cross_method_parity_real_audio():
     from speechflow_tpu.io import AudioChunk
 
     paths = sorted(glob.glob(
-        "/root/reference/examples/simple_datasets/speech/SEGS/**/*.wav",
+        f"{MINI_SEGS}/**/*.wav",
         recursive=True))[:3]
     if not paths:
         pytest.skip("reference mini dataset unavailable")

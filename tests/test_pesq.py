@@ -9,6 +9,7 @@ on total signal loss, and insensitivity to small delays / level offsets.
 
 import numpy as np
 import pytest
+from tests.paths import MINI_SEGS
 
 
 @pytest.fixture(scope="module")
@@ -16,7 +17,7 @@ def speech():
     from speechflow_tpu.io import AudioSeg
 
     seg = AudioSeg.load(
-        "/root/reference/examples/simple_datasets/speech/SEGS/EN/LJSpeech/000/0.TextGridStage3")
+        f"{MINI_SEGS}/EN/LJSpeech/000/0.TextGridStage3")
     wav = np.asarray(seg.audio_chunk.load(sr=16000).waveform, np.float64)
     return wav[: 16000 * 3]
 

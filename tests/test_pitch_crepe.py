@@ -10,8 +10,9 @@ corpus audio."""
 
 import numpy as np
 import pytest
+from tests.paths import MINI_SEGS
 
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
+MINI = f"{MINI_SEGS}"
 
 
 @pytest.fixture(scope="module")

@@ -11,10 +11,11 @@ import sys
 from pathlib import Path
 
 import pytest
+from tests.paths import MINI_SEGS
 
 sys.path.insert(0, str(Path(__file__).parent / "tools"))
 
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
+MINI = f"{MINI_SEGS}"
 
 pytestmark = [pytest.mark.slow,
               pytest.mark.skipif(not os.path.isdir(MINI),

@@ -18,8 +18,9 @@ from speechflow_tpu.annotator.text_alignment import (
     normalize_word,
     word_similarity,
 )
+from tests.paths import MINI_SEGS
 
-SEGS = "/root/reference/examples/simple_datasets/speech/SEGS/EN"
+SEGS = f"{MINI_SEGS}/EN"
 
 
 def test_word_similarity_basics():

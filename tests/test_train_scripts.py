@@ -8,9 +8,10 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+from tests.paths import MINI_SEGS
 
 CFG = Path(__file__).parent.parent / "configs"
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
+MINI = f"{MINI_SEGS}"
 
 pytestmark = [pytest.mark.slow,
               pytest.mark.skipif(not os.path.isdir(MINI),

@@ -17,6 +17,7 @@ from speechflow_tpu.models.tts import (
 )
 from speechflow_tpu.models.tts.data_types import TTSForwardInput
 from speechflow_tpu.training import OptimizerConfig, Trainer, TrainerConfig
+from tests.paths import MINI_SEGS
 
 B, N, T, MELS = 2, 16, 64, 40
 
@@ -121,7 +122,7 @@ def test_criterion_full(rng):
 def real_batch():
     import os
 
-    mini = "/root/reference/examples/simple_datasets/speech/SEGS"
+    mini = f"{MINI_SEGS}"
     if not os.path.isdir(mini):
         pytest.skip("reference mini dataset unavailable")
     from speechflow_tpu.data.core.components import DataPipeline

@@ -35,12 +35,13 @@ import typing as tp
 from pathlib import Path
 
 import numpy as np
+from tests.paths import MINI_SEGS
 
 REPO = Path(__file__).resolve().parent.parent.parent
 if str(REPO) not in sys.path:  # runnable as a script from anywhere
     sys.path.insert(0, str(REPO))
 RECORD_PATH = REPO / "docs" / "convergence.json"
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
+MINI = f"{MINI_SEGS}"
 
 ACOUSTIC_STEPS = 3000
 VOCODER_STEPS = 2500

@@ -19,8 +19,9 @@ from pathlib import Path
 
 import numpy as np
 import torch
+from tests.paths import SRC_ROOT
 
-WAV = ("/root/reference/examples/simple_datasets/speech/SRC/EN/OPENSOURCE_VOICES/"
+WAV = (f"{SRC_ROOT}/EN/OPENSOURCE_VOICES/"
        "001_LJSpeech/LJSpeech-1.1/wavs/LJ001-0002.wav")
 OUT = Path(__file__).resolve().parents[1] / "data" / "mel_golden_reference.npz"
 

@@ -8,8 +8,9 @@ The committed fixtures let the decode tests run independently of the encoder
 from pathlib import Path
 
 from speechflow_tpu.io import AudioChunk
+from tests.paths import MINI_SEGS
 
-SRC = Path("/root/reference/examples/simple_datasets/speech/SEGS")
+SRC = Path(f"{MINI_SEGS}")
 OUT = Path(__file__).parent.parent / "data"
 
 

@@ -29,10 +29,11 @@ import typing as tp
 from pathlib import Path
 
 import numpy as np
+from tests.paths import MINI_SEGS
 
 REPO = Path(__file__).resolve().parent.parent.parent
 RATCHET_PATH = REPO / "tests" / "data" / "quality_ratchet.json"
-MINI = "/root/reference/examples/simple_datasets/speech/SEGS"
+MINI = f"{MINI_SEGS}"
 TRAIN_STEPS = 80
 
 
