@@ -156,5 +156,11 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
     return report
 
 
+def cli() -> None:
+    """Console entry point (pyproject [project.scripts]): exit-code semantics
+    want None, while :func:`main` returns its result for programmatic use."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -71,5 +71,11 @@ def main(argv=None):
     return written
 
 
+def cli() -> None:
+    """Console entry point (pyproject [project.scripts]): exit-code semantics
+    want None, while :func:`main` returns its result for programmatic use."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -85,5 +85,11 @@ def main(argv=None):
     return n_annotated
 
 
+def cli() -> None:
+    """Console entry point (pyproject [project.scripts]): exit-code semantics
+    want None, while :func:`main` returns its result for programmatic use."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -89,6 +89,12 @@ def main(argv=None) -> str:
         raise SystemExit(str(e))
 
 
+def cli() -> None:
+    """Console entry point (pyproject [project.scripts]): exit-code semantics
+    want None, while :func:`main` returns its result for programmatic use."""
+    main()
+
+
 if __name__ == "__main__":
     logging.basicConfig(level=logging.INFO)
     main()

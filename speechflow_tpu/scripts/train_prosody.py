@@ -121,5 +121,11 @@ def main(argv=None) -> str:
         return str(saver.expr_path)
 
 
+def cli() -> None:
+    """Console entry point (pyproject [project.scripts]): exit-code semantics
+    want None, while :func:`main` returns its result for programmatic use."""
+    main()
+
+
 if __name__ == "__main__":
     main()

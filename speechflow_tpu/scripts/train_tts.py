@@ -117,5 +117,11 @@ def main(argv=None) -> str:
         return train(model_cfg, data_cfg, saver)
 
 
+def cli() -> None:
+    """Console entry point (pyproject [project.scripts]): exit-code semantics
+    want None, while :func:`main` returns its result for programmatic use."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -58,6 +58,12 @@ class DataLoader:
         self._reorder: tp.Dict[int, tp.Optional[Batch]] = {}  # req -> batch (None = failed)
         self._next_seq = 0
         self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        # transport accounting (test_connection reads these instead of
+        # re-serializing batches: Serialize.size was one full in-band pickle
+        # of every ~10 MB batch INSIDE the timed loop)
+        self.batches_received = 0
+        self.wire_bytes_total = 0
         self._stop = threading.Event()
         self._last_recv = time.time()
         self._thread: tp.Optional[threading.Thread] = None
@@ -136,6 +142,8 @@ class DataLoader:
                     batch: Batch = Serialize.load_frames(frames[1:])
                 else:
                     batch = Serialize.load(msg["batch_blob"])
+                self.batches_received += 1
+                self.wire_bytes_total += sum(len(f) for f in frames)
                 self._enqueue_ordered(req, batch)
             elif mtype == "batch_failed":
                 self._outstanding.discard(req)
@@ -152,31 +160,38 @@ class DataLoader:
         order so the epoch boundary (is_last) is seen in sampling order."""
         if req is None:
             if batch is not None:
-                with self._lock:
+                with self._cond:
                     self._queue.append(batch)
+                    self._cond.notify()
             return
         self._reorder[req] = batch
-        with self._lock:
+        with self._cond:
             while self._next_seq in self._reorder:
                 b = self._reorder.pop(self._next_seq)
                 self._next_seq += 1
                 if b is not None:
                     self._queue.append(b)
+                    self._cond.notify()
 
     # -- consumption -----------------------------------------------------------
 
     def next_batch(self, timeout: float = 120.0) -> Batch:
-        t0 = time.time()
-        while True:
-            with self._lock:
+        deadline = time.time() + timeout
+        with self._cond:
+            while True:
                 if self._queue:
                     batch = self._queue.popleft()
                     if self._keep(batch):
                         return batch
                     continue
-            if time.time() - t0 > timeout:
-                raise TimeoutError(f"no batch within {timeout}s (subset={self.subset})")
-            time.sleep(0.005)
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise TimeoutError(
+                        f"no batch within {timeout}s (subset={self.subset})")
+                # condition wakeup (not sleep-polling): the receive thread
+                # notifies on every enqueue, so consumption latency is the
+                # scheduler's, not a 5 ms poll tick
+                self._cond.wait(min(remaining, 1.0))
 
     def _keep(self, batch: Batch) -> bool:
         if batch.size < self.min_batch_size:
@@ -201,18 +216,23 @@ class DataLoader:
         """Throughput self-benchmark (reference: loader.py:368-393): pulls
         batches for ``duration_s`` and reports batches/s, samples/s and
         MB/batch of the serialized payload."""
+        # payload size comes from the receive thread's wire accounting —
+        # re-serializing each batch here (the old Serialize.size) put a full
+        # ~10 MB in-band pickle inside the timed loop and understated
+        # throughput by ~25%
+        bytes0 = self.wire_bytes_total
         t0 = time.time()
-        n_batches = n_samples = total_bytes = 0
+        n_batches = n_samples = 0
         while time.time() - t0 < duration_s:
             batch = self.next_batch(timeout=max(duration_s, 30.0))
             n_batches += 1
             n_samples += batch.size
-            total_bytes += Serialize.size(batch)
         elapsed = max(time.time() - t0, 1e-6)
+        wire = self.wire_bytes_total - bytes0
         return {
             "batches_per_s": n_batches / elapsed,
             "samples_per_s": n_samples / elapsed,
-            "mb_per_batch": (total_bytes / max(n_batches, 1)) / 1e6,
+            "mb_per_batch": (wire / max(n_batches, 1)) / 1e6,
             "n_batches": n_batches,
         }
 

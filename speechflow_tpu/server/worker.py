@@ -58,6 +58,13 @@ class BatchWorker(ProcessWorker):
         if msg.get("type") != "task":
             return
         task_id = msg["task_id"]
+        # early ready: announce BEFORE processing so the broker streams the
+        # next task's sample frames to this worker concurrently with the
+        # current collate — one-deep pipelining that overlaps transfer with
+        # compute (the reference worker only re-announces after finishing,
+        # leaving it idle for the full task round trip)
+        self.socket.send(pickle.dumps({"type": "ready"}))
+        self._announced = True
         try:
             # samples arrive as out-of-band multipart frames (zero-copy
             # protocol; single-frame blob kept as fallback). writable=True:
@@ -79,7 +86,6 @@ class BatchWorker(ProcessWorker):
             LOGGER.warning("worker %d failed task: %r", self.worker_idx, e)
             self.socket.send(pickle.dumps({
                 "type": "error", "task_id": task_id, "error": repr(e)}))
-        self._announced = False  # re-announce ready after each task
 
     def on_finish(self) -> None:
         self.socket.close(0)

@@ -168,6 +168,37 @@ def test_full_synthesis_chain_from_checkpoints(tts_experiment, vocoder_experimen
     assert rmel.ndim == 3 and np.isfinite(rmel).all()
 
 
+def test_export_bundle_roundtrip(tts_experiment, vocoder_experiment, tmp_path):
+    """Deployment artifact (reference vocos/pretrained.py:47 equivalent):
+    pack TTS+vocoder checkpoints into one archive, load it from a *different*
+    directory with the experiment dirs gone from the path, synthesize audio."""
+    from speechflow_tpu.scripts.export import InferenceBundle, pack
+
+    archive = pack(tmp_path / "bundle.sftpu.tar.gz",
+                   tts=tts_experiment, vocoder=vocoder_experiment)
+    assert archive.is_file() and archive.stat().st_size > 10_000
+
+    # relocate: load from a copy in a fresh dir (nothing references the
+    # original experiment paths)
+    import shutil
+
+    moved = tmp_path / "elsewhere" / "b.tar.gz"
+    moved.parent.mkdir()
+    shutil.copy(archive, moved)
+    b = InferenceBundle.load(moved)
+    assert set(b.manifest["components"]) >= {"tts", "vocoder"}
+    # g2p travels with the bundle -> raw text uses the trained frontend
+    from speechflow_tpu.data.processors.text import G2PParserHook
+
+    assert isinstance(b.tts.text_processor.parser, G2PParserHook)
+    from speechflow_tpu.interface import TTSOptions
+
+    audio = b.synthesize("Hello from the bundle.", lang="EN",
+                         opts=TTSOptions(t_out=128, cfm_timesteps=2))
+    assert len(audio) > 0 and np.isfinite(audio.waveform).all()
+    assert float(np.abs(audio.waveform).max()) > 0.0
+
+
 def test_cfm_timesteps_knob():
     """cfm_timesteps must actually change the CFM Euler loop (was a dead knob)."""
     from flax import nnx
