@@ -79,14 +79,23 @@ class TextParserHook:
     """Pluggable raw-text -> phoneme-sequence hook (inference path).
 
     The built-in fallback is a character tokenizer (lowercased, punctuation as
-    pause markers); inject an external phonemizer by subclassing.
+    pause markers); inject an external phonemizer by subclassing.  Every hook
+    first expands digits/abbreviations through ``text_norm.normalize_text``
+    (the reference normalizes inside multilingual_text_parser before
+    phonemization, tts_text_processors.py:57).
     """
 
     PAUSE_CHARS = ".,;:!?—–-"
 
+    @staticmethod
+    def normalize(text: str, lang: str = "EN") -> str:
+        from speechflow_tpu.data.processors.text_norm import normalize_text
+
+        return normalize_text(text, lang)
+
     def __call__(self, text: str, lang: str = "EN") -> tp.List[str]:
         out: tp.List[str] = []
-        for ch in text.strip().lower():
+        for ch in self.normalize(text, lang).strip().lower():
             if ch.isspace():
                 continue
             if ch in self.PAUSE_CHARS:
@@ -119,7 +128,8 @@ class G2PParserHook(TextParserHook):
         if G2PParserHook._WORD_OR_PAUSE is None:
             G2PParserHook._WORD_OR_PAUSE = re.compile(
                 r"[\w']+|[" + re.escape(self.PAUSE_CHARS) + r"]+")
-        pieces = G2PParserHook._WORD_OR_PAUSE.findall(text.strip().lower())
+        pieces = G2PParserHook._WORD_OR_PAUSE.findall(
+            self.normalize(text, lang).strip().lower())
         words = [p for p in pieces if p[0] not in self.PAUSE_CHARS]
         prons = dict(zip(words, self.g2p.predict(words, lang)))
         out: tp.List[str] = []
