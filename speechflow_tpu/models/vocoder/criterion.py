@@ -128,6 +128,7 @@ def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
                           mel_weight: float = 45.0, fm_weight: float = 2.0,
                           stft_weight: float = 1.0, adv_weight: float = 1.0,
                           adv_start_iter: int = 0,
+                          adv_ramp_steps: int = 0,
                           cpc_ckpt: tp.Optional[str] = None,
                           cpc_weight: float = 1.0,
                           bio_ckpt: tp.Optional[str] = None,
@@ -149,7 +150,15 @@ def vocoder_gen_criterion(sample_rate: int = 24000, n_mels: int = 100,
         }
         fake_logits, fake_fmaps = disc(fake)
         real_logits, real_fmaps = disc(real)
+        # Ramp the adversarial pressure in over adv_ramp_steps instead of a
+        # step function: at adv_start the discriminator is still coarse, and
+        # a full-strength hinge gradient from it measurably degrades fidelity
+        # (r4 convergence record: val/pesq_wb fell 1.50 -> 1.47 across the
+        # adversarial phase with the hard gate).
         gate = (step >= adv_start_iter).astype(jnp.float32)
+        if adv_ramp_steps > 0:
+            gate = gate * jnp.clip(
+                (step - adv_start_iter + 1) / adv_ramp_steps, 0.0, 1.0)
         losses["adv"] = adv_weight * gate * _hinge_gen(fake_logits)
         losses["fm"] = fm_weight * gate * _feature_matching(real_fmaps, fake_fmaps)
         if cpc_loss is not None:
