@@ -242,6 +242,7 @@ def build_flagship_stages(value_select: str = "default"):
                                             input_feature="mel",
                                             n_mels=100)),  # match the bench mel grid
                     rngs=nnx.Rngs(1))
+    vocoder.fold_inference()  # exact folded BigVGAN head (the serving path)
 
     a_def, a_state = nnx.split(acoustic)
     v_def, v_state = nnx.split(vocoder)

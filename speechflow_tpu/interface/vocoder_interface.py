@@ -23,7 +23,8 @@ __all__ = ["VocoderEvaluationInterface"]
 
 
 class VocoderEvaluationInterface:
-    def __init__(self, ckpt_path: tp.Union[str, Path]):
+    def __init__(self, ckpt_path: tp.Union[str, Path],
+                 fold_inference: bool = True):
         tree, payload = ExperimentSaver.load_checkpoint(ckpt_path)
         self.payload = payload
         params = VocosParams.create(payload["model_params"])
@@ -35,6 +36,10 @@ class VocoderEvaluationInterface:
             model_tree = model_tree["generator"]
         nnx.replace_by_pure_dict(state, model_tree)
         nnx.update(self.model, state)
+        if fold_inference:
+            # exact layout transform of the trained BigVGAN-class head
+            # (models/vocoder/folded_head.py) — no-op for other heads
+            self.model.fold_inference()
 
     @property
     def sample_rate(self) -> int:

@@ -142,6 +142,24 @@ class Vocos(nnx.Module):
         else:
             raise ValueError(p.head)
 
+    def fold_inference(self, target: int = 384, threshold: int = 256) -> bool:
+        """Swap a SnakeUpsampleHead for its exact folded-inference equivalent
+        (models/vocoder/folded_head.py): the small-channel high-rate stages
+        run space-to-depth folded at ~``target`` feature width, which is the
+        measured TPU layout fix for this head (docs/vocoder_roofline.md).
+
+        Load weights first, then fold — the transform scatters the trained
+        kernels.  Returns True if the head was folded (no-op for other
+        heads).  Inference-only: do not train a folded model.
+        """
+        from speechflow_tpu.models.vocoder.folded_head import FoldedSnakeHead
+
+        if isinstance(self.head, SnakeUpsampleHead):
+            self.head = FoldedSnakeHead(self.head, target=target,
+                                        threshold=threshold)
+            return True
+        return False
+
     def _resolve_f0_style(self, inputs, aux, t_frames: int):
         """Frame-level F0 (batch pitch field, else the acoustic model's
         prediction) padded/trimmed to the feature frame count, plus the AdaIN

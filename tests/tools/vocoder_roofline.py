@@ -191,6 +191,18 @@ def main() -> None:
     def full(v_state, mel):
         return nnx.merge(v_def, v_state)({"mel": mel})
 
+    # folded-inference variant (models/vocoder/folded_head.py): same weights,
+    # space-to-depth layout for the small-channel stages
+    folded = Vocos(params, rngs=nnx.Rngs(1))
+    folded.fold_inference()
+    f_def, f_state = nnx.split(folded)
+    f_state = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, f_state)
+
+    def full_folded(f_state, mel):
+        return nnx.merge(f_def, f_state)({"mel": mel})
+
     measured = [("backbone", measure(jax.jit(run_backbone), v_state, mel)),
                 ("head pre", measure(jax.jit(head_pre), v_state, feats))]
     for i, ((ju, xu), (jm, xm)) in enumerate(zip(ups, mrfs)):
@@ -198,6 +210,10 @@ def main() -> None:
         measured.append((f"mrf{i}", measure(jm, v_state, xm)))
     measured.append(("post", measure(jax.jit(post_fn), v_state, x)))
     t_full = measure(jax.jit(full), v_state, mel)
+    t_folded = measure(jax.jit(full_folded), f_state, mel)
+    mel1 = mel[:1]
+    t_b1 = measure(jax.jit(full), v_state, mel1)
+    t_b1_folded = measure(jax.jit(full_folded), f_state, mel1)
 
     # ---- analytic ----------------------------------------------------------
     rows = stage_rows(v["dim"], v["upsample_channels"], v["upsample_rates"],
@@ -222,6 +238,12 @@ def main() -> None:
           f"({audio_s / t_full:.0f}x realtime, "
           f"MFU {100 * total_f / t_full / PEAK_FLOPS:.1f}%, "
           f"BW {total_b / t_full / 1e9:.0f} GB/s of {PEAK_BW / 1e9:.0f})")
+    print(f"FOLDED generator jit: {t_folded * 1e3:.3f} ms "
+          f"({audio_s / t_folded:.0f}x realtime, "
+          f"MFU {100 * total_f / t_folded / PEAK_FLOPS:.1f}%, "
+          f"{t_full / t_folded:.2f}x over true layout)")
+    print(f"B=1 latency ({T_FRAMES} frames): true {t_b1 * 1e3:.1f} ms, "
+          f"folded {t_b1_folded * 1e3:.1f} ms")
     print(f"light-speed bound: {total_ls * 1e3:.3f} ms "
           f"-> max achievable MFU {100 * total_f / total_ls / PEAK_FLOPS:.1f}% "
           f"at these dims")
