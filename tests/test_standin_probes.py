@@ -41,3 +41,28 @@ def test_cpc_vs_mel_relation_recorded(record):
     cpc, mel = probe["cpc"], probe["logmel"]
     assert mel["frame_acc"] > 0
     assert cpc["frame_acc"] >= 0.6 * mel["frame_acc"], (cpc, mel)
+
+
+def test_asr_per_probe_recorded(record):
+    """Probe B: the CTC ASR stand-in's held-out PER is measured (the number
+    docs/standins.md previously listed as unmeasured) and far better than
+    an untrained decoder (PER ~1.0)."""
+    if "asr_per_probe" not in record:
+        pytest.skip("record predates the ASR PER probe")
+    probe = record["asr_per_probe"]
+    assert probe["n_phonemes"] >= 20 and probe["n_test_utts"] >= 2
+    assert probe["per_test"] <= 0.70, probe       # well under random/untrained
+    assert probe["per_train"] <= probe["per_test"] + 0.10, probe
+
+
+def test_codec_bitrate_probe_recorded(record):
+    """Probe C: RVQ codec round-trip quality at its real bitrate — training
+    must move every metric decisively off the untrained floor."""
+    if "codec_bitrate_probe" not in record:
+        pytest.skip("record predates the codec bitrate probe")
+    probe = record["codec_bitrate_probe"]
+    assert 2.0 <= probe["bitrate_kbps"] <= 24.0   # speech-codec regime
+    tr, un = probe["trained"], probe["untrained"]
+    assert tr["pesq_wb"] >= un["pesq_wb"] + 0.3, probe
+    assert tr["si_snr"] >= un["si_snr"] + 5.0, probe
+    assert tr["mcd"] <= un["mcd"] * 0.7, probe

@@ -35,11 +35,13 @@ import typing as tp
 from pathlib import Path
 
 import numpy as np
-from tests.paths import MINI_SEGS
 
 REPO = Path(__file__).resolve().parent.parent.parent
 if str(REPO) not in sys.path:  # runnable as a script from anywhere
     sys.path.insert(0, str(REPO))
+
+from tests.paths import MINI_SEGS  # noqa: E402  (needs the sys.path bootstrap)
+
 RECORD_PATH = REPO / "docs" / "convergence.json"
 MINI = f"{MINI_SEGS}"
 
@@ -401,25 +403,47 @@ def main() -> None:
     import tempfile
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    record = json.loads(RECORD_PATH.read_text()) if RECORD_PATH.exists() else {}
-    with tempfile.TemporaryDirectory() as td:
-        acoustic_exp = vocoder_exp = None
+
+    def run_stages(td: Path) -> None:
+        """Each stage persists its record section (and, with a persistent
+        workdir, its experiment path) as soon as it finishes, so a crashed or
+        preempted run can be resumed stage-by-stage."""
+        record = json.loads(RECORD_PATH.read_text()) if RECORD_PATH.exists() else {}
+        paths_file = td / "stage_paths.json"
+        paths = (json.loads(paths_file.read_text())
+                 if paths_file.exists() else {})
+
+        def save() -> None:
+            record["corpus"] = MINI
+            RECORD_PATH.write_text(json.dumps(record, indent=1) + "\n")
+            paths_file.write_text(json.dumps(paths, indent=1))
+
         if which in ("all", "acoustic"):
-            record["acoustic"], acoustic_exp = run_acoustic(Path(td) / "acoustic")
+            record["acoustic"], paths["acoustic"] = run_acoustic(td / "acoustic")
             print("acoustic:", {k: v for k, v in record["acoustic"].items()
                                 if k != "loss_curve"})
+            save()
         if which in ("all", "vocoder"):
-            record["vocoder"], vocoder_exp = run_vocoder(Path(td) / "vocoder")
+            record["vocoder"], paths["vocoder"] = run_vocoder(td / "vocoder")
             print("vocoder:", {k: v for k, v in record["vocoder"].items()
                                if k != "loss_curve"})
-            record["mos_gan_probe"] = run_mos_gan_probe(vocoder_exp)
+            save()
+            record["mos_gan_probe"] = run_mos_gan_probe(paths["vocoder"])
             print("mos_gan_probe:", record["mos_gan_probe"])
-        if which == "all":  # both checkpoints in hand -> composed-chain gate
-            record["composed"] = run_composed(acoustic_exp, vocoder_exp)
+            save()
+        if which in ("all", "composed"):  # needs both stage checkpoints
+            record["composed"] = run_composed(paths["acoustic"], paths["vocoder"])
             print("composed:", record["composed"])
-    record["corpus"] = MINI
-    RECORD_PATH.write_text(json.dumps(record, indent=1) + "\n")
-    print("record ->", RECORD_PATH)
+            save()
+        print("record ->", RECORD_PATH)
+
+    if len(sys.argv) > 2:  # persistent workdir: resumable across processes
+        wd = Path(sys.argv[2])
+        wd.mkdir(parents=True, exist_ok=True)
+        run_stages(wd)
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            run_stages(Path(td))
 
 
 if __name__ == "__main__":
