@@ -22,6 +22,22 @@ from speechflow_tpu.training import ExperimentSaver
 __all__ = ["VocoderEvaluationInterface"]
 
 
+# Module-level jitted entry points (weights are traced inputs, so the compile
+# cache is shared across checkpoints of the same architecture — the GAN-grade
+# probes load several).  Serving always runs under jit: besides latency, some
+# backends only lower complex-valued ops (ISTFT heads) through XLA — eager
+# op-by-op dispatch of `mag * exp(i*phase)` is unimplemented on tunneled TPU.
+@nnx.jit
+def _forward(model: Vocos, inputs):
+    out = model(inputs)
+    return out[0] if isinstance(out, tuple) else out
+
+
+@nnx.jit
+def _from_features(model: Vocos, feats, cond, f0, style):
+    return model.from_features(feats, cond=cond, f0=f0, style=style)
+
+
 class VocoderEvaluationInterface:
     def __init__(self, ckpt_path: tp.Union[str, Path],
                  fold_inference: bool = True):
@@ -68,7 +84,8 @@ class VocoderEvaluationInterface:
                 f0 = jnp.asarray(f0)[None]
             kwargs = {"f0": None if f0 is None else jnp.asarray(f0),
                       "style": cond}
-        wav = np.asarray(self.model.from_features(mel, cond, **kwargs))
+        wav = np.asarray(_from_features(self.model, mel, cond,
+                                        kwargs.get("f0"), kwargs.get("style")))
         wav = wav.reshape(-1) if wav.shape[0] == 1 else wav
         return AudioChunk(data=np.clip(wav, -1.0, 1.0), sr=self.sample_rate)
 
@@ -82,8 +99,5 @@ class VocoderEvaluationInterface:
             f0 = np_dsp.yin_f0_np(wav_np, self.sample_rate,
                                   self.params.hop_length, 2048, 80.0, 880.0, 0.2)
             inputs["pitch"] = jnp.asarray(f0)[None]
-        out = self.model(inputs)
-        if isinstance(out, tuple):  # codec/tts extractors return (wav, losses)
-            out = out[0]
-        out = np.asarray(out)[0]
+        out = np.asarray(_forward(self.model, inputs))[0]
         return AudioChunk(data=np.clip(out, -1.0, 1.0), sr=self.sample_rate)

@@ -428,6 +428,7 @@ def main() -> None:
             print("vocoder:", {k: v for k, v in record["vocoder"].items()
                                if k != "loss_curve"})
             save()
+        if which in ("all", "vocoder", "mosgan"):
             record["mos_gan_probe"] = run_mos_gan_probe(paths["vocoder"])
             print("mos_gan_probe:", record["mos_gan_probe"])
             save()
