@@ -141,8 +141,10 @@ def run_cpc_probe(cpc_steps: int = 800, seed: int = 0) -> dict:
     vocab = {lbl: i for i, lbl in enumerate(
         sorted(l for l, c in phoneme_counts.items() if c >= 5))}
 
+    print(f"  cpc: training {cpc_steps} steps on {len(utts)} utts", flush=True)
     cpc = train_cpc([w for w, _ in utts], sr=SR, steps=cpc_steps, batch=8,
                     chunk_s=1.0, seed=seed)
+    print("  cpc: trained; extracting features", flush=True)
 
     def collect(feature_fn, hop):
         Xtr, ytr, Xte, yte = [], [], [], []
@@ -155,8 +157,24 @@ def run_cpc_probe(cpc_steps: int = 800, seed: int = 0) -> dict:
         return (np.concatenate(Xtr), np.concatenate(ytr),
                 np.concatenate(Xte), np.concatenate(yte))
 
+    # Jit the forward (eager dispatch is pathological on tunneled TPU
+    # backends) and pad waves into 1 s shape buckets so the whole corpus
+    # compiles a handful of programs instead of one per utterance length.
+    from flax import nnx
+
+    fwd = nnx.jit(lambda m, w: m(w))
+
+    def _n_frames(length: int) -> int:  # SAME-conv ceil-div chain
+        t = length
+        for s in cpc.p.strides:
+            t = -(-t // s)
+        return t
+
     def cpc_feats(wav):
-        return np.asarray(cpc(jnp.asarray(wav)[None])[0], np.float32)
+        bucket = -(-len(wav) // SR) * SR
+        padded = np.pad(wav, (0, bucket - len(wav)))
+        feats = np.asarray(fwd(cpc, jnp.asarray(padded)[None])[0], np.float32)
+        return feats[: _n_frames(len(wav))]
 
     res = {}
     for name, fn, hop in (("cpc", cpc_feats, cpc.hop),
@@ -225,8 +243,26 @@ def run_asr_probe(steps: int = 3000, seed: int = 0) -> dict:
                                  dim=192, n_conv=2, time_stride=2)
     model = CTCRecognizer(params, rngs=nnx.Rngs(seed))
     opt = nnx.Optimizer(model, optax.adamw(optax.cosine_decay_schedule(
-        2e-3, steps, alpha=0.05), weight_decay=1e-5), wrt=nnx.Param)
+        2e-3, steps, alpha=0.05), weight_decay=1e-4), wrt=nnx.Param)
     ctc = CTCLoss(blank_id=0)
+
+    def spec_augment(mel: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """SpecAugment-style time/frequency stripe masking (host-side) —
+        the 50-utt corpus badly overfits without it (train PER 0.09 vs
+        held-out 0.78 measured unregularized)."""
+        m = mel.copy()
+        n_mels = m.shape[2]
+        for b in range(len(m)):
+            t_len = int(lens[b])
+            for _ in range(2):
+                w = int(rng.integers(5, max(t_len // 8, 6)))
+                t0 = int(rng.integers(0, max(t_len - w, 1)))
+                m[b, t0: t0 + w] = 0.0
+            for _ in range(2):
+                w = int(rng.integers(2, 10))
+                f0 = int(rng.integers(0, n_mels - w))
+                m[b, :, f0: f0 + w] = 0.0
+        return m
 
     @nnx.jit
     def step(model, opt, mel, t_len, tgt, u_len):
@@ -242,8 +278,9 @@ def run_asr_probe(steps: int = 3000, seed: int = 0) -> dict:
     last = float("nan")
     for s in range(steps):
         pick = rng.choice(tr_idx, size=batch, replace=len(tr_idx) < batch)
-        last = step(model, opt, jnp.asarray(X[pick]), jnp.asarray(T[pick]),
-                    jnp.asarray(Y[pick]), jnp.asarray(U[pick]))
+        last = step(model, opt, jnp.asarray(spec_augment(X[pick], T[pick])),
+                    jnp.asarray(T[pick]), jnp.asarray(Y[pick]),
+                    jnp.asarray(U[pick]))
         if s % 500 == 0:
             print(f"  asr step {s}: ctc={float(last):.3f}", flush=True)
 
@@ -324,10 +361,13 @@ def run_codec_probe(steps: int = 4000, seed: int = 0) -> dict:
 
     def evaluate(codec) -> dict:
         scores: tp.Dict[str, list] = {"pesq_wb": [], "si_snr": [], "mcd": []}
+        pad_to = 6 * SR  # one roundtrip program for every eval utterance
         for w in te_waves:
-            w = w[: (min(len(w), 6 * SR) // hop) * hop]
-            rec = np.asarray(roundtrip(codec, jnp.asarray(w)[None])[0])
-            t = min(len(w), len(rec))
+            t = (min(len(w), pad_to) // hop) * hop
+            padded = np.zeros(pad_to, np.float32)
+            padded[:t] = w[:t]
+            rec = np.asarray(roundtrip(codec, jnp.asarray(padded)[None])[0])
+            t = min(t, len(rec))
             ref, deg = w[:t], rec[:t]
             scores["pesq_wb"].append(pesq_wb(ref, deg, sr=SR))
             scores["si_snr"].append(si_snr(deg, ref))
@@ -353,16 +393,21 @@ def run_codec_probe(steps: int = 4000, seed: int = 0) -> dict:
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     record = json.loads(RECORD_PATH.read_text()) if RECORD_PATH.exists() else {}
+    def save() -> None:  # resumable: persist after every stage
+        RECORD_PATH.write_text(json.dumps(record, indent=1) + "\n")
+
     if which in ("all", "cpc"):
         record["cpc_phone_probe"] = run_cpc_probe()
         print(json.dumps(record["cpc_phone_probe"], indent=1))
+        save()
     if which in ("all", "asr"):
         record["asr_per_probe"] = run_asr_probe()
         print(json.dumps(record["asr_per_probe"], indent=1))
+        save()
     if which in ("all", "codec"):
         record["codec_bitrate_probe"] = run_codec_probe()
         print(json.dumps(record["codec_bitrate_probe"], indent=1))
-    RECORD_PATH.write_text(json.dumps(record, indent=1) + "\n")
+        save()
     print("record ->", RECORD_PATH)
 
 
